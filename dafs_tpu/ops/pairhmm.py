@@ -1,0 +1,291 @@
+"""Batched ProbCons pair-HMM forward/backward/posterior on TPU.
+
+TPU-first reformulation of probconsRNA/ProbabilisticModel.h:105-259,337-403:
+the sequential O(L1*L2) cell loop becomes an anti-diagonal wavefront
+`lax.scan`; a whole batch of sequence pairs is processed simultaneously as
+padded (B, 3, L+1) diagonal slices.  Each DP cell evaluates exactly the same
+float32 expression tree (same LOG_ADD/LOG_PLUS_EQUALS approximations, same
+accumulation order) as the reference, so results agree to the last few ulps
+with the C++ binary while the wavefront exposes B*L-way parallelism per step.
+
+State order: 0=M, 1=Ix (gap in seq2), 2=Iy (gap in seq1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafs_tpu.models import probcons_params as P
+from dafs_tpu.ops.logspace import LOG_ZERO, log_add, probcons_exp
+
+_TABLES = None
+
+
+def tables():
+    # cached as numpy so cross-jit reuse never captures tracers
+    global _TABLES
+    if _TABLES is None:
+        _TABLES = P.log_tables()
+    return _TABLES
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _shift_right(x, fill):
+    """x[..., i] -> x[..., i-1] along the last axis, filling index 0."""
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]], axis=-1
+    )
+
+
+def _shift_left(x, fill):
+    return jnp.concatenate(
+        [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)], axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("l1max", "l2max"))
+def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
+    """Compute match posteriors for a batch of sequence pairs.
+
+    Args:
+      codes1: (B, l1max+1) int32, 1-based codes (index 0 unused).
+      len1:   (B,) int32 actual lengths.
+      codes2: (B, l2max+1) int32.
+      len2:   (B,) int32.
+    Returns:
+      posterior: (B, l1max, l2max) float32; entry (b,i,j) is the match
+      posterior of seq1[i] ~ seq2[j] (0-based), matching
+      ProbabilisticModel.h:374-403 (including the EXP/LOG_ADD approximations
+      and the (0,0)=0 hack, which falls outside this slice).
+    """
+    t = {k: jnp.asarray(v) for k, v in tables().items()}
+    B = codes1.shape[0]
+    imax = l1max + 1  # diagonal index range: i in [0, l1max]
+    ndiag = l1max + l2max + 1
+
+    init_log = t["init"]
+    trans = t["trans"]
+    match_t = t["match"]
+    ins_t = t["ins"]
+
+    i_idx = jnp.arange(imax)[None, :]  # (1, imax)
+    len1b = len1[:, None]
+    len2b = len2[:, None]
+
+    # per-position emissions, fetched once
+    ins1 = ins_t[codes1]  # (B, l1max+1): ins score of seq1 char at position i
+    ins2 = ins_t[codes2]
+
+    c1 = codes1  # (B, l1max+1)
+
+    def fwd_step(carry, d):
+        prev, prev2 = carry  # each (B, 3, imax): diagonals d-1, d-2
+        j_idx = d - i_idx  # (1, imax)
+        valid = (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
+        not_init = (i_idx > 1) | (j_idx > 1)
+
+        j_clip = jnp.broadcast_to(jnp.clip(j_idx, 0, l2max), (B, imax))
+        c2_d = jnp.take_along_axis(
+            jnp.broadcast_to(codes2, (B, l2max + 1)), j_clip, axis=1
+        )  # (B, imax) char of seq2 at j
+        ins2_d = ins_t[c2_d]
+        match_d = match_t[c1[:, :imax], c2_d]  # uses c1 at i (clipped: imax<=l1max+1)
+
+        mm = prev2[:, 0]
+        mx = prev2[:, 1]
+        my = prev2[:, 2]
+        # M[i][j] from (i-1, j-1): same diagonal index i-1 on d-2
+        m_in = _shift_right(mm, LOG_ZERO)
+        x_in = _shift_right(mx, LOG_ZERO)
+        y_in = _shift_right(my, LOG_ZERO)
+        acc = m_in + trans[0, 0]
+        acc = log_add(acc, x_in + trans[1, 0])  # k=1 then k=2, same order as C++
+        acc = log_add(acc, y_in + trans[2, 0])
+        m_new = acc + match_d
+        m_ok = valid & not_init & (i_idx > 0) & (j_idx > 0)
+        m_new = jnp.where(m_ok, m_new, LOG_ZERO)
+
+        # Ix[i][j] from (i-1, j): index i-1 on d-1
+        pm = _shift_right(prev[:, 0], LOG_ZERO)
+        px = _shift_right(prev[:, 1], LOG_ZERO)
+        x_new = ins_t[c1[:, :imax]] + log_add(pm + trans[0, 1], px + trans[1, 1])
+        x_ok = valid & not_init & (i_idx > 0)
+        x_new = jnp.where(x_ok, x_new, LOG_ZERO)
+
+        # Iy[i][j] from (i, j-1): index i on d-1
+        y_new = ins2_d + log_add(prev[:, 0] + trans[0, 2], prev[:, 2] + trans[2, 2])
+        y_ok = valid & not_init & (j_idx > 0)
+        y_new = jnp.where(y_ok, y_new, LOG_ZERO)
+
+        # init cells (ProbabilisticModel.h:122-131)
+        m_new = jnp.where(
+            (i_idx == 1) & (j_idx == 1),
+            init_log[0] + match_d,
+            m_new,
+        )
+        x_new = jnp.where(
+            (i_idx == 1) & (j_idx == 0) & (1 <= len1b),
+            init_log[1] + ins_t[c1[:, :imax]],
+            x_new,
+        )
+        y_new = jnp.where(
+            (i_idx == 0) & (j_idx == 1) & (1 <= len2b),
+            init_log[2] + ins2_d,
+            y_new,
+        )
+        # re-mask validity for init cells (e.g. (1,1) when len is 0)
+        m_new = jnp.where(valid & (i_idx > 0) & (j_idx > 0), m_new, LOG_ZERO)
+
+        diag = jnp.stack([m_new, x_new, y_new], axis=1)  # (B, 3, imax)
+        return (diag, prev), diag
+
+    zero = jnp.full((B, 3, imax), LOG_ZERO)
+    (_, _), fdiags = jax.lax.scan(
+        fwd_step, (zero, zero), jnp.arange(ndiag), unroll=1
+    )
+    # fdiags: (ndiag, B, 3, imax)
+
+    def bwd_step(carry, d):
+        nxt, nxt2 = carry  # diagonals d+1, d+2
+        j_idx = d - i_idx
+        valid = (i_idx >= 0) & (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
+
+        # characters at i+1 and j+1
+        ip1 = jnp.clip(i_idx + 1, 0, l1max)
+        c1_n = jnp.take_along_axis(jnp.broadcast_to(codes1, (B, l1max + 1)), jnp.broadcast_to(ip1, (B, imax)), axis=1)
+        jp1 = jnp.clip(j_idx + 1, 0, l2max)
+        c2_n = jnp.take_along_axis(jnp.broadcast_to(codes2, (B, l2max + 1)), jnp.broadcast_to(jp1, (B, imax)), axis=1)
+        match_n = match_t[c1_n, c2_n]
+        ins1_n = ins_t[c1_n]
+        ins2_n = ins_t[c2_n]
+
+        has_m = (i_idx < len1b) & (j_idx < len2b) & valid
+        has_x = (i_idx < len1b) & valid
+        has_y = (j_idx < len2b) & valid
+
+        # neighbors: (i+1, j+1) -> index i+1 on d+2 ; (i+1, j) -> i+1 on d+1 ;
+        # (i, j+1) -> i on d+1
+        bm_11 = _shift_left(nxt2[:, 0], LOG_ZERO)
+        bx_10 = _shift_left(nxt2[:, 1], LOG_ZERO)  # unused, kept for clarity
+        bx_n = _shift_left(nxt[:, 1], LOG_ZERO)
+        by_n = nxt[:, 2]
+
+        prob_xy = bm_11 + match_n
+
+        def lpe(x, y, cond):
+            return jnp.where(cond, log_add(x, y), x)
+
+        bM = jnp.full((B, imax), LOG_ZERO)
+        bX = jnp.full((B, imax), LOG_ZERO)
+        bY = jnp.full((B, imax), LOG_ZERO)
+        # order matches ProbabilisticModel.h:233-249
+        bM = lpe(bM, prob_xy + trans[0, 0], has_m)
+        bX = lpe(bX, prob_xy + trans[1, 0], has_m)
+        bY = lpe(bY, prob_xy + trans[2, 0], has_m)
+        bM = lpe(bM, bx_n + ins1_n + trans[0, 1], has_x)
+        bX = lpe(bX, bx_n + ins1_n + trans[1, 1], has_x)
+        bM = lpe(bM, by_n + ins2_n + trans[0, 2], has_y)
+        bY = lpe(bY, by_n + ins2_n + trans[2, 2], has_y)
+
+        # init: cell (L1, L2) = initialDistribution (ProbabilisticModel.h:213-214)
+        at_end = (i_idx == len1b) & (j_idx == len2b)
+        bM = jnp.where(at_end, init_log[0], bM)
+        bX = jnp.where(at_end, init_log[1], bX)
+        bY = jnp.where(at_end, init_log[2], bY)
+
+        bM = jnp.where(valid, bM, LOG_ZERO)
+        bX = jnp.where(valid, bX, LOG_ZERO)
+        bY = jnp.where(valid, bY, LOG_ZERO)
+
+        diag = jnp.stack([bM, bX, bY], axis=1)
+        return (diag, nxt), diag
+
+    (_, _), bdiags_rev = jax.lax.scan(
+        bwd_step, (zero, zero), jnp.arange(ndiag - 1, -1, -1), unroll=1
+    )
+    bdiags = bdiags_rev[::-1]  # index by d again
+
+    # ---- total probability (ProbabilisticModel.h:337-365) ----
+    def diag_cell(diags, i, j):
+        # diags: (ndiag, B, 3, imax); i,j: (B,) -> (B, 3)
+        d = (i + j)[:, None]
+        return diags[d, jnp.arange(B)[:, None], jnp.arange(3)[None, :], i[:, None]]
+
+    f_end = diag_cell(fdiags, len1, len2)
+    b_end = diag_cell(bdiags, len1, len2)
+    total_f = f_end[:, 0] + b_end[:, 0]
+    total_f = log_add(total_f, f_end[:, 1] + b_end[:, 1])
+    total_f = log_add(total_f, f_end[:, 2] + b_end[:, 2])
+
+    one = jnp.ones((B,), jnp.int32)
+    zero_i = jnp.zeros((B,), jnp.int32)
+    f_11 = diag_cell(fdiags, one, one)
+    b_11 = diag_cell(bdiags, one, one)
+    f_10 = diag_cell(fdiags, one, zero_i)
+    b_10 = diag_cell(bdiags, one, zero_i)
+    f_01 = diag_cell(fdiags, zero_i, one)
+    b_01 = diag_cell(bdiags, zero_i, one)
+    total_b = f_11[:, 0] + b_11[:, 0]
+    total_b = log_add(total_b, f_10[:, 1] + b_10[:, 1])
+    total_b = log_add(total_b, f_01[:, 2] + b_01[:, 2])
+
+    total = (total_f + total_b) / jnp.float32(2.0)
+
+    # ---- posterior (ProbabilisticModel.h:374-403) ----
+    # gather diag-major M-state values into row-major (B, l1max+1, l2max+1)
+    ii = jnp.arange(l1max + 1)[:, None]
+    jj = jnp.arange(l2max + 1)[None, :]
+    dsel = ii + jj  # (l1max+1, l2max+1)
+    fm = fdiags[:, :, 0, :]  # (ndiag, B, imax)
+    bm = bdiags[:, :, 0, :]
+    f_cells = fm[dsel, :, ii]  # (l1max+1, l2max+1, B)
+    b_cells = bm[dsel, :, ii]
+    logp = f_cells + b_cells - total[None, None, :]
+    post = probcons_exp(jnp.minimum(jnp.float32(0.0), logp))
+    post = jnp.moveaxis(post, -1, 0)  # (B, l1max+1, l2max+1)
+
+    valid = (
+        (jnp.arange(1, l1max + 1)[None, :, None] <= len1[:, None, None])
+        & (jnp.arange(1, l2max + 1)[None, None, :] <= len2[:, None, None])
+    )
+    return jnp.where(valid, post[:, 1:, 1:], 0.0)
+
+
+def batch_posteriors(seqs1, seqs2, threshold):
+    """Host helper: posteriors for aligned-index pairs of raw strings.
+
+    Returns a list of dense float32 (L1, L2) matrices with entries kept only
+    when strictly greater than `threshold` (src/align.cpp:69-78 semantics:
+    wrapper zeroes < th, adapter keeps > th).
+    """
+    # bucket pad to limit the number of compiled variants
+    l1max = _round_up(max(len(s) for s in seqs1), 32)
+    l2max = _round_up(max(len(s) for s in seqs2), 32)
+    B = len(seqs1)
+    codes1 = np.zeros((B, l1max + 1), dtype=np.int32)
+    codes2 = np.zeros((B, l2max + 1), dtype=np.int32)
+    len1 = np.array([len(s) for s in seqs1], dtype=np.int32)
+    len2 = np.array([len(s) for s in seqs2], dtype=np.int32)
+    for b, s in enumerate(seqs1):
+        codes1[b, 1 : len(s) + 1] = P.encode(s)
+    for b, s in enumerate(seqs2):
+        codes2[b, 1 : len(s) + 1] = P.encode(s)
+    post = np.asarray(
+        forward_backward_posterior(
+            jnp.asarray(codes1), jnp.asarray(len1), jnp.asarray(codes2),
+            jnp.asarray(len2), l1max=l1max, l2max=l2max,
+        )
+    )
+    out = []
+    for b in range(B):
+        p = post[b, : len1[b], : len2[b]].copy()
+        p[p <= threshold] = 0.0
+        out.append(p)
+    return out
