@@ -1,0 +1,243 @@
+"""Dual-decomposition solver for one progressive-merge step.
+
+Reimplements DAFS::solve_by_dd (src/dafs.cpp:1006-1295) TPU-first: the whole
+subgradient loop runs on device as a `jax.lax.while_loop` whose body fuses
+two Nussinov decodes, one banded NW decode, violation counting over the
+consensus-base-pair candidate list (as gather/scatter-adds over a padded
+index array), and the sparse multiplier updates (as masked dense updates —
+the reference's SPARSE_UPDATE branch touches exactly the cells our masks
+select, so the dense form is semantically identical).
+
+Host-side preparation per merge: candidate enumeration (vectorized numpy
+mirror of the 4-nested loop at src/dafs.cpp:1022-1044), the alignment
+envelope, and bucket-padding for compile reuse.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafs_tpu.typedefs import CUTOFF
+from dafs_tpu.ops import nussinov, nw
+from dafs_tpu.utils.log import logger
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a, for_ip=False):
+    """Consensus base-pair candidates (src/dafs.cpp:1022-1044).
+
+    Returns (U, 4) int64 array of (i, j, k, l) rows.
+    p weighting: DD mode uses (N1*p_x + N2*p_y)/(N1+N2); IP mode plain mean
+    (src/dafs.cpp:1032 vs :1336).
+    """
+    f = np.float32
+    xi, xj = np.nonzero(p_x > CUTOFF)
+    keep_x = xj > xi
+    xi, xj = xi[keep_x], xj[keep_x]
+    yk, yl = np.nonzero(p_y > CUTOFF)
+    keep_y = yl > yk
+    yk, yl = yk[keep_y], yl[keep_y]
+    if xi.size == 0 or yk.size == 0:
+        return np.zeros((0, 4), dtype=np.int64)
+
+    # cross product (i,j) x (k,l), filtered by the z-conditions
+    zi = p_z[xi[:, None], yk[None, :]] > CUTOFF  # p_z[i][k]
+    zj = p_z[xj[:, None], yl[None, :]] > CUTOFF  # p_z[j][l]
+    mask = zi & zj
+    if for_ip:
+        p = (p_x[xi[:, None], xj[:, None]] + p_y[yk[None, :], yl[None, :]]) / f(2.0)
+    else:
+        p = (
+            f(n1) * p_x[xi[:, None], xj[:, None]]
+            + f(n2) * p_y[yk[None, :], yl[None, :]]
+        ) / f(n1 + n2)
+    q = (p_z[xi[:, None], yk[None, :]] + p_z[xj[:, None], yl[None, :]]) / f(2.0)
+    mask &= (p - f(min_th_s) > 0.0) & (
+        f(w) * (p - f(min_th_s)) + (q - f(th_a)) > 0.0
+    )
+    a, b = np.nonzero(mask)
+    # order like the reference loop nest (i asc, j asc, k asc, l asc):
+    # rows of the cross product are (i,j) pairs in lexicographic order
+    # already; columns (k,l) likewise, and np.nonzero is row-major. ✓
+    return np.stack([xi[a], xj[a], yk[b], yl[b]], axis=1).astype(np.int64)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L1", "L2", "U", "t_max"),
+)
+def _dd_device(
+    p_x, p_y, p_z, q_x0, q_y0, q_z0,
+    in_cx, in_cy, in_cz,
+    cbp, cbp_valid,
+    env_first, env_last,
+    l1, l2, w_x, w_y, th_s0, th_a, eta0, n_cbp4,
+    *, L1, L2, U, t_max,
+):
+    ci, cj, ck, cl = cbp[:, 0], cbp[:, 1], cbp[:, 2], cbp[:, 3]
+    ii1 = jnp.arange(L1)
+    ii2 = jnp.arange(L2)
+
+    def body(state):
+        (q_x, q_y, q_z, eta, c, s_prev, _, t, _, _, _, done) = state
+
+        sm_x = w_x * (p_x - th_s0) - q_x
+        sm_y = w_y * (p_y - th_s0) - q_y
+        s_x, x = nussinov.decode(sm_x, l1, L=L1)
+        s_y, y = nussinov.decode(sm_y, l2, L=L2)
+        sm_z = p_z - th_a + q_z
+        s_z, z = nw.decode(sm_z, env_first, env_last, l1, l2, L1=L1, L2=L2)
+        s = s_x + s_y + s_z
+
+        # violation counts over consensus candidates (src/dafs.cpp:1103-1117)
+        s_w = q_x[ci, cj] + q_y[ck, cl] - q_z[ci, ck] - q_z[cj, cl]
+        active = (s_w > 0.0) & cbp_valid
+        s = s + jnp.sum(jnp.where(active, s_w, 0.0))
+        a32 = active.astype(jnp.int32)
+        t_x = jnp.zeros((L1, L1), jnp.int32).at[ci, cj].add(a32)
+        t_y = jnp.zeros((L2, L2), jnp.int32).at[ck, cl].add(a32)
+        t_z = (
+            jnp.zeros((L1, L2), jnp.int32)
+            .at[ci, ck].add(a32)
+            .at[cj, cl].add(a32)
+        )
+
+        # multiplier updates (sparse branch src/dafs.cpp:1120-1254, dense form)
+        X = jnp.zeros((L1, L1), jnp.int32).at[ii1, jnp.clip(x, 0, L1 - 1)].add(
+            (x >= 0).astype(jnp.int32)
+        )
+        Y = jnp.zeros((L2, L2), jnp.int32).at[ii2, jnp.clip(y, 0, L2 - 1)].add(
+            (y >= 0).astype(jnp.int32)
+        )
+        Z = jnp.zeros((L1, L2), jnp.int32).at[ii1, jnp.clip(z, 0, L2 - 1)].add(
+            (z >= 0).astype(jnp.int32)
+        )
+
+        dx = (t_x - X).astype(jnp.float32)
+        mx = (X > 0) | in_cx
+        upd_x = mx & (dx != 0.0)
+        q_x = jnp.where(upd_x, q_x - eta * dx, q_x)
+
+        dy = (t_y - Y).astype(jnp.float32)
+        my = (Y > 0) | in_cy
+        upd_y = my & (dy != 0.0)
+        q_y = jnp.where(upd_y, q_y - eta * dy, q_y)
+
+        dz = (Z - t_z).astype(jnp.float32)
+        mz = (Z > 0) | in_cz
+        q_z = jnp.where(mz, jnp.maximum(0.0, q_z - eta * dz), q_z)
+        viol_z = ((Z > 0) & (t_z > 1)) | ((Z == 0) & in_cz & (t_z > 0))
+
+        violated = (
+            jnp.sum(upd_x.astype(jnp.int32))
+            + jnp.sum(upd_y.astype(jnp.int32))
+            + jnp.sum(viol_z.astype(jnp.int32))
+        )
+
+        done = violated == 0
+        # step width (src/dafs.cpp:1283-1288); on break the reference skips
+        # the eta update AND keeps the previous s_prev
+        improve = (s > s_prev) | (t == 0)
+        c_new = c + jnp.maximum(0.0, n_cbp4 - violated.astype(jnp.float32)) / n_cbp4
+        c = jnp.where(improve & ~done, c_new, c)
+        eta = jnp.where(improve & ~done, eta0 / (1.0 + c), eta)
+        s_out = jnp.where(done, s_prev, s)
+
+        return (q_x, q_y, q_z, eta, c, s_out, violated, t + 1, x, y, z, done)
+
+    def cond(state):
+        (_, _, _, _, _, _, _, t, _, _, _, done) = state
+        return (t < t_max) & (~done)
+
+    init = (
+        q_x0, q_y0, q_z0,
+        jnp.float32(eta0), jnp.float32(0.0), jnp.float32(0.0),
+        jnp.int32(-1), jnp.int32(0),
+        jnp.full((L1,), -1, jnp.int32), jnp.full((L2,), -1, jnp.int32),
+        jnp.full((L1,), -1, jnp.int32),
+        jnp.asarray(False),
+    )
+    (q_x, q_y, q_z, eta, c, s_prev, violated, t, x, y, z, done) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    return s_prev, t, violated, x, y, z
+
+
+def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
+    """Solve one merge's joint align+fold problem by dual decomposition.
+
+    Args:
+      p_x: (L1, L1) averaged base-pair probs of group 1 (dense, cut off).
+      p_y: (L2, L2) for group 2.
+      p_z: (L1, L2) averaged match probs.
+      n1, n2: group sizes.
+      th_s: list of fold thresholds (th_s_[0] drives the Nussinov decode;
+        min(th_s) gates candidates).
+    Returns:
+      (s, x, y, z) with int64 vectors (-1 = unpaired/unaligned), mirroring
+      solve_by_dd's outputs.
+    """
+    L1, L2 = p_z.shape
+    min_th_s = min(th_s)
+    cbp = enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a)
+    env = nw.envelope(p_z, th_a)
+    logger.debug("DD: L1=%d L2=%d |cbp|=%d", L1, L2, len(cbp))
+
+    P1, P2 = _round_up(L1, 32), _round_up(L2, 32)
+    U = max(_round_up(max(len(cbp), 1), 256), 256)
+
+    pxp = np.zeros((P1, P1), np.float32)
+    pxp[:L1, :L1] = p_x
+    pyp = np.zeros((P2, P2), np.float32)
+    pyp[:L2, :L2] = p_y
+    pzp = np.zeros((P1, P2), np.float32)
+    pzp[:L1, :L2] = p_z
+
+    cbp_pad = np.zeros((U, 4), np.int64)
+    cbp_pad[: len(cbp)] = cbp
+    cbp_valid = np.zeros(U, bool)
+    cbp_valid[: len(cbp)] = True
+
+    in_cx = np.zeros((P1, P1), bool)
+    in_cy = np.zeros((P2, P2), bool)
+    in_cz = np.zeros((P1, P2), bool)
+    if len(cbp):
+        in_cx[cbp[:, 0], cbp[:, 1]] = True
+        in_cy[cbp[:, 2], cbp[:, 3]] = True
+        in_cz[cbp[:, 0], cbp[:, 2]] = True
+        in_cz[cbp[:, 1], cbp[:, 3]] = True
+
+    envf = np.zeros(P1 + 1, np.int32)
+    envl = np.zeros(P1 + 1, np.int32)
+    envf[: L1 + 1] = env[:, 0]
+    envl[: L1 + 1] = env[:, 1]
+    envl[L1 + 1 :] = L2
+
+    f = np.float32
+    w_x = f(f(w) * 2 * n1 / (n1 + n2))
+    w_y = f(f(w) * 2 * n2 / (n1 + n2))
+
+    s, t, violated, x, y, z = _dd_device(
+        jnp.asarray(pxp), jnp.asarray(pyp), jnp.asarray(pzp),
+        jnp.zeros((P1, P1), jnp.float32), jnp.zeros((P2, P2), jnp.float32),
+        jnp.zeros((P1, P2), jnp.float32),
+        jnp.asarray(in_cx), jnp.asarray(in_cy), jnp.asarray(in_cz),
+        jnp.asarray(cbp_pad), jnp.asarray(cbp_valid),
+        jnp.asarray(envf), jnp.asarray(envl),
+        jnp.int32(L1), jnp.int32(L2),
+        w_x, w_y, f(th_s[0]), f(th_a), f(eta0),
+        f(4.0 * max(len(cbp), 1)),
+        L1=P1, L2=P2, U=U, t_max=t_max,
+    )
+    logger.info("Step: %d, Violated: %d", int(t), int(violated))
+    x = np.asarray(x)[:L1].astype(np.int64)
+    y = np.asarray(y)[:L2].astype(np.int64)
+    z = np.asarray(z)[:L1].astype(np.int64)
+    return float(s), x, y, z

@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from dafs_tpu import dd
+from tests import oracle_dd
+
+
+def _fake_merge_problem(rng, L1, L2):
+    """Random but structured posteriors resembling a real merge step."""
+    # a couple of plausible helix candidates shared between both groups
+    p_x = np.zeros((L1, L1), np.float32)
+    p_y = np.zeros((L2, L2), np.float32)
+    p_z = np.zeros((L1, L2), np.float32)
+    for i in range(L1):
+        j = int(np.clip(round(i * L2 / L1) + rng.integers(-1, 2), 0, L2 - 1))
+        p_z[i, j] = 0.4 + 0.6 * rng.random()
+    for _ in range(L1):
+        i = int(rng.integers(0, L1 - 4))
+        j = int(rng.integers(i + 4, L1))
+        p_x[i, j] = 0.3 + 0.7 * rng.random()
+        # a matching pair in y coordinates
+        k = int(np.clip(round(i * L2 / L1), 0, L2 - 1))
+        l = int(np.clip(round(j * L2 / L1), 0, L2 - 1))
+        if k + 3 < l:
+            p_y[k, l] = 0.3 + 0.7 * rng.random()
+    for _ in range(L2 // 2):
+        k = int(rng.integers(0, L2 - 4))
+        l = int(rng.integers(k + 4, L2))
+        p_y[k, l] = max(p_y[k, l], 0.2 + 0.5 * rng.random())
+    return p_x, p_y, p_z
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_dd_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    L1 = int(rng.integers(12, 22))
+    L2 = int(rng.integers(12, 22))
+    p_x, p_y, p_z = _fake_merge_problem(rng, L1, L2)
+    kw = dict(w=4.0, th_s=[0.2], th_a=0.01, eta0=0.5, t_max=60)
+
+    s_w, x_w, y_w, z_w, viol_w = oracle_dd.solve_by_dd(
+        p_x, p_y, p_z, 1, 1, 4.0, [0.2], 0.01, 0.5, 60
+    )
+    s_g, x_g, y_g, z_g = dd.solve_by_dd(p_x, p_y, p_z, 1, 1, **kw)
+
+    np.testing.assert_array_equal(x_g, x_w)
+    np.testing.assert_array_equal(y_g, y_w)
+    np.testing.assert_array_equal(z_g, z_w)
+    assert abs(s_g - s_w) < 1e-3
+
+
+def test_dd_group_weighting():
+    # asymmetric group sizes exercise the 2N/(N1+N2) weighting
+    rng = np.random.default_rng(7)
+    p_x, p_y, p_z = _fake_merge_problem(rng, 18, 16)
+    s_w, x_w, y_w, z_w, _ = oracle_dd.solve_by_dd(
+        p_x, p_y, p_z, 3, 1, 4.0, [0.2], 0.01, 0.5, 40
+    )
+    s_g, x_g, y_g, z_g = dd.solve_by_dd(
+        p_x, p_y, p_z, 3, 1, w=4.0, th_s=[0.2], th_a=0.01, eta0=0.5, t_max=40
+    )
+    np.testing.assert_array_equal(x_g, x_w)
+    np.testing.assert_array_equal(y_g, y_w)
+    np.testing.assert_array_equal(z_g, z_w)
