@@ -1,0 +1,146 @@
+"""dafs-compatible command line interface (src/dafs.cpp:1603-1779).
+
+Usage: python -m dafs_tpu.cli [options] FILE   (or the `dafs-tpu` entry point)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dafs-tpu",
+        description="DAFS-TPU: dual decomposition for simultaneous aligning "
+        "and folding RNA sequences (TPU-native).",
+    )
+    p.add_argument("input", metavar="FILE")
+    p.add_argument("-r", "--refinement", type=int, default=0, metavar="N")
+    p.add_argument("-w", "--weight", type=float, default=4.0)
+    p.add_argument("--eta", type=float, default=0.5)
+    p.add_argument("-m", "--max-iter", type=int, default=600, metavar="T")
+    p.add_argument("-f", "--fourway-pct", type=float, default=0.0)
+    p.add_argument("-v", "--verbose", type=int, default=0)
+    # aligning
+    p.add_argument("-a", "--align-model", default="ProbCons",
+                   choices=["ProbCons", "CONTRAlign"])
+    p.add_argument("-p", "--align-pct", type=float, default=0.25)
+    p.add_argument("-u", "--align-th", type=float, default=0.01)
+    p.add_argument("--align-aux", metavar="FILENAME")
+    # folding
+    p.add_argument("-s", "--fold-model", default="Boltzmann",
+                   choices=["Boltzmann", "Vienna", "CONTRAfold"])
+    p.add_argument("--fold-decoder", default="Nussinov",
+                   choices=["Nussinov", "IPknot"])
+    p.add_argument("-q", "--fold-pct", type=float, default=0.25)
+    p.add_argument("-t", "--fold-th", type=str, default=None)
+    p.add_argument("-g", "--gamma", type=str, default=None)
+    p.add_argument("--no-alifold", action="store_true")
+    p.add_argument("-T", "--fold-th1", type=str, default=None)
+    p.add_argument("-G", "--gamma1", type=str, default=None)
+    p.add_argument("--ipknot", action="store_true")
+    p.add_argument("--bp-update", action="store_true")
+    p.add_argument("--bp-update1", action="store_true")
+    p.add_argument("--fold-aux", metavar="FILENAME")
+    return p
+
+
+def _parse_floats(s):
+    return [float(x) for x in s.split(",")]
+
+
+def options_from_args(args):
+    from dafs_tpu import pipeline
+
+    # threshold resolution (src/dafs.cpp:1709-1750)
+    if args.fold_th is not None:
+        th_s = _parse_floats(args.fold_th)
+    elif args.gamma is not None:
+        th_s = [1.0 / (1.0 + g) for g in _parse_floats(args.gamma)]
+    elif args.ipknot:
+        th_s = [1.0 / (1.0 + 4.0), 1.0 / (1.0 + 8.0)]
+    else:
+        th_s = [0.2]
+
+    if args.fold_th1 is not None:
+        th_s1 = _parse_floats(args.fold_th1)
+    elif args.gamma1 is not None:
+        th_s1 = [1.0 / (1.0 + g) for g in _parse_floats(args.gamma1)]
+    elif args.ipknot:
+        th_s1 = [1.0 / (1.0 + 2.0), 1.0 / (1.0 + 4.0)]
+    else:
+        th_s1 = th_s
+
+    fold_decoder = "IPknot" if (args.ipknot or args.fold_decoder == "IPknot") else "Nussinov"
+    return pipeline.Options(
+        w=args.weight,
+        eta0=args.eta,
+        t_max=args.max_iter,
+        n_refinement=args.refinement,
+        w_pct_a=args.align_pct,
+        w_pct_s=args.fold_pct,
+        w_pct_f=args.fourway_pct,
+        th_a=args.align_th,
+        th_s=tuple(th_s),
+        th_s1=tuple(th_s1),
+        use_alifold=not args.no_alifold,
+        use_bp_update=args.bp_update,
+        # --bp-update1 XORs with --ipknot (src/dafs.cpp:1767)
+        use_bp_update1=bool(args.bp_update1) ^ bool(args.ipknot),
+        fold_decoder=fold_decoder,
+        verbose=args.verbose,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not os.path.exists(args.input):
+        print(f"{args.input}: No such file or directory", file=sys.stderr)
+        return 1
+
+    # heavy imports only after successful argument parsing
+    from dafs_tpu import pipeline
+    from dafs_tpu.fasta import load_fasta
+    from dafs_tpu.models import align_models, fold_models
+    from dafs_tpu.utils.log import set_verbosity
+
+    set_verbosity(args.verbose)
+    opts = options_from_args(args)
+
+    if args.align_aux:
+        a_model = align_models.AUXAlign(args.align_aux, args.align_th)
+    elif args.align_model == "CONTRAlign":
+        a_model = align_models.CONTRAlign(args.align_th)
+    else:
+        a_model = align_models.ProbCons(args.align_th)
+
+    from dafs_tpu.typedefs import CUTOFF
+
+    if args.fold_aux:
+        s_model = fold_models.AUXFold(args.fold_aux, CUTOFF)
+    elif args.fold_model == "Boltzmann":
+        s_model = fold_models.RNAfold(True, CUTOFF)
+    elif args.fold_model == "Vienna":
+        s_model = fold_models.RNAfold(False, CUTOFF)
+    else:
+        s_model = fold_models.CONTRAfold(CUTOFF)
+
+    alifold_model = None
+    if not args.no_alifold or True:  # final decode always uses alifold
+        try:
+            from dafs_tpu.ops import alifold as alifold_ops
+
+            alifold_model = alifold_ops.Alifold(0.0, bl=args.fold_model == "Boltzmann")
+        except ImportError:
+            alifold_model = None
+
+    fa = load_fasta(args.input)
+    d = pipeline.Dafs(a_model, s_model, opts, alifold_model=alifold_model)
+    sys.stdout.write(d.run(fa))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,228 @@
+"""Similarity scores and probabilistic consistency transformations (PCT).
+
+TPU-first reformulations of:
+- calculate_similarity_score (src/dafs.cpp:713-764): a sparse NW-like DP with
+  a path-length counter; here a row-scan with an associative running max and
+  vectorized Y-run length reconstruction, vmapped over all sequence pairs.
+- relax_matching_probability (src/dafs.cpp:258-324): the 3-way PCT
+  p'(x_i,y_j) = sum_z w_z sum_k p(z_k,x_i) p(z_k,y_j) becomes one batched
+  matmul chain over the padded (N, N, L, L) posterior tensor — MXU work.
+- relax_basepairing_probability (src/dafs.cpp:326-375): likewise
+  p'_x = sum_y w_y * M_yx^T B_y M_yx with two matmuls per (x, y).
+- relax_fourway_consistency (src/dafs.cpp:377-444): the four-way PCT coupling
+  match and pair posteriors (off by default, -f 0.0).
+
+All weights and accumulations are float32, matching reference precision.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafs_tpu.typedefs import CUTOFF
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("L1", "L2"))
+def _similarity_device(p, present, l1, l2, *, L1, L2):
+    """dp[L1][L2] and tr[L1][L2] of the similarity DP.
+
+    p: (L1, L2) float32 match posteriors (0 where absent).
+    present: (L1, L2) bool, True where the sparse matrix has an entry
+      (strictly > threshold in the producer).
+    """
+    NEGI = jnp.float32(-3e38)
+
+    def row(carry, inp):
+        dp_prev, tr_prev = carry  # (L2+1,) of previous DP row
+        p_row, ent_row, i = inp   # (L2,), (L2,), scalar
+        # candidates from the previous row, for j in [1, L2]
+        m_cand = jnp.where(ent_row, dp_prev[:-1] + p_row, NEGI)
+        x_cand = dp_prev[1:]
+        # priority: entry cols [M, Y, X]; non-entry [Y, X].
+        # For the dp *value*, dp[i][j] = max(m, x, dp[i][j-1]) with
+        # dp[i][0] = 0; compute via running max.
+        b = jnp.maximum(m_cand, x_cand)
+        c = jnp.concatenate([jnp.zeros((1,), jnp.float32), b])
+        run = jax.lax.associative_scan(jnp.maximum, c)
+        dp_row = run  # (L2+1,), dp_row[0] = 0
+        left = run[:-1]  # dp[i][j-1]
+
+        # choice per cell j in [1, L2]:
+        #   entry: M if dp==m_cand else Y if dp==left else X
+        #   non-entry: Y if dp==left else X
+        dpj = dp_row[1:]
+        is_m = ent_row & (dpj == m_cand)
+        is_y = ~is_m & (dpj == left)
+        # tr for non-Y cells comes from the previous row
+        tr_nonY = jnp.where(is_m, tr_prev[:-1] + 1, tr_prev[1:] + 1)
+        # Y-runs: tr[j] = tr[anchor] + (j - anchor), anchor = last non-Y cell
+        jj = jnp.arange(1, L2 + 1)
+        anchor = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_y, 0, jj)
+        )  # 0 means "column 0" (tr=0)
+        tr_anchor_vals = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.where(is_y, 0, tr_nonY).astype(jnp.int32)]
+        )
+        # value at the anchor column (tr of the non-Y cell, or 0 at col 0)
+        anchored = tr_anchor_vals[anchor]
+        tr_row = jnp.where(is_y, anchored + (jj - anchor), tr_nonY)
+        tr_row = jnp.concatenate([jnp.zeros((1,), jnp.int32), tr_row.astype(jnp.int32)])
+        return (dp_row, tr_row), (dp_row, tr_row)
+
+    dp0 = jnp.zeros((L2 + 1,), jnp.float32)
+    tr0 = jnp.zeros((L2 + 1,), jnp.int32)
+    # scan all padded rows, then gather at the true (l1, l2): later rows and
+    # columns never influence earlier ones, so padding is exact.
+    _, (dps, trs) = jax.lax.scan(row, (dp0, tr0), (p, present, jnp.arange(L1)))
+    return dps[l1 - 1, l2], trs[l1 - 1, l2]
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def similarity(mp: np.ndarray, present: np.ndarray, l1: int, l2: int) -> float:
+    """calculate_similarity_score for one pair (dense mp with zeros absent)."""
+    P1, P2 = _round_up(l1, 32), _round_up(l2, 32)
+    pp = np.zeros((P1, P2), np.float32)
+    pp[:l1, :l2] = mp[:l1, :l2]
+    ee = np.zeros((P1, P2), bool)
+    ee[:l1, :l2] = present[:l1, :l2]
+    dp, tr = _similarity_device(
+        jnp.asarray(pp), jnp.asarray(ee),
+        jnp.int32(l1), jnp.int32(l2), L1=P1, L2=P2,
+    )
+    return float(np.float32(float(dp) / float(tr)))
+
+
+# ---------------------------------------------------------------------------
+# PCT transforms
+# ---------------------------------------------------------------------------
+
+
+def _pct_weights_match(sim: np.ndarray, x: int, y: int, w_pct: float) -> np.ndarray:
+    """Per-z weights for relax_matching_probability (src/dafs.cpp:280-287)."""
+    N = sim.shape[0]
+    f = np.float32
+    w = np.float32(sim[:, x] * sim[:, y])
+    if w_pct < 0.0:
+        w = np.float32(w * f(1.0 / N))
+    else:
+        scale = np.full(N, f(w_pct) / f(N - 2) if N > 2 else f(0.0), np.float32)
+        scale[x] = f((1.0 - w_pct) / 2)
+        scale[y] = f((1.0 - w_pct) / 2)
+        w = np.float32(w * scale)
+    return w
+
+
+def relax_matching_probability(
+    mp: np.ndarray, sim: np.ndarray, lens: list[int], w_pct_a: float
+) -> np.ndarray:
+    """3-way PCT over the padded (N, N, L, L) match-posterior tensor.
+
+    mp[x, y] is the dense (L, L) match matrix of pair (x, y) (zeros beyond
+    lens, zeros where below cutoff); mp[y, x] must be its transpose and
+    mp[x, x] identity.  Returns the transformed tensor with the same
+    conventions (entries <= CUTOFF dropped).
+    """
+    N, _, L, _ = mp.shape
+    out = np.zeros_like(mp)
+    mpj = jnp.asarray(mp)
+    for x in range(N - 1):
+        for y in range(x + 1, N):
+            w = _pct_weights_match(sim, x, y, w_pct_a)
+            sum_w = np.float32(np.sum(w, dtype=np.float32))
+            # sum_z w_z * mp[z,x]^T @ mp[z,y]
+            post = np.asarray(
+                jnp.einsum(
+                    "z,zki,zkj->ij", jnp.asarray(w), mpj[:, x], mpj[:, y],
+                    preferred_element_type=jnp.float32,
+                    precision='highest',
+                )
+            )
+            post = np.float32(post / sum_w)
+            post[post <= CUTOFF] = 0.0
+            post[lens[x]:, :] = 0.0
+            post[:, lens[y]:] = 0.0
+            out[x, y] = post
+            out[y, x] = post.T
+    for x in range(N):
+        np.fill_diagonal(out[x, x], 0.0)
+        out[x, x][np.arange(lens[x]), np.arange(lens[x])] = 1.0
+    return out
+
+
+def relax_basepairing_probability(
+    bp: np.ndarray, mp: np.ndarray, sim: np.ndarray, lens: list[int], w_pct_s: float
+) -> np.ndarray:
+    """PCT for base-pair posteriors: p'_x = sum_y w_y M_yx^T B_y M_yx."""
+    N, L, _ = bp.shape
+    f = np.float32
+    out = np.zeros_like(bp)
+    bpj = jnp.asarray(bp)
+    mpj = jnp.asarray(mp)
+    for x in range(N):
+        w = np.float32(sim[:, x]).copy()
+        if w_pct_s < 0.0:
+            w = np.float32(w * f(1.0 / N))
+        else:
+            scale = np.full(N, f(w_pct_s) / f(N - 1) if N > 1 else f(0.0), np.float32)
+            scale[x] = f(1.0 - w_pct_s)
+            w = np.float32(w * scale)
+        sum_w = np.float32(np.sum(w, dtype=np.float32))
+        # sum_y w_y * mp[y,x]^T @ bp[y] @ mp[y,x]
+        post = np.asarray(
+            jnp.einsum(
+                "y,yki,ykl,ylj->ij", jnp.asarray(w), mpj[:, x], bpj, mpj[:, x],
+                preferred_element_type=jnp.float32,
+                precision="highest",
+            )
+        )
+        post = np.float32(post / sum_w)
+        post = np.triu(post, 1)  # keep i < j only
+        post[post <= CUTOFF] = 0.0
+        post[lens[x]:, :] = 0.0
+        post[:, lens[x]:] = 0.0
+        out[x] = post
+    return out
+
+
+def relax_fourway_consistency(
+    mp: np.ndarray, bp: np.ndarray, lens: list[int], w_pct_f: float
+) -> np.ndarray:
+    """Four-way PCT (src/dafs.cpp:377-444), coupling match and pair posteriors.
+
+    posterior[i][k] += (1-w)*p_ik + w * sum_{j,l} p^x_ij p^y_kl p_jl   and the
+    symmetric j,l term; implemented as matmul chains per pair.
+    """
+    N, _, L, _ = mp.shape
+    f = np.float32
+    out = np.zeros_like(mp)
+    for x in range(N - 1):
+        for y in range(x + 1, N):
+            P = mp[x, y]
+            mask = P > 0.0  # contributions only land on existing match entries
+            post = np.float32(P * f(1.0 - w_pct_f))
+            # term1: posterior[i][k] += sum_{j>i, l>k} bx[i][j] p[j][l] by[k][l]
+            post = np.float32(
+                post + f(w_pct_f) * mask * (bp[x] @ P @ bp[y].T)
+            )
+            # term2: posterior[j][l] += sum_{i<j, k<l} bx[i][j] by[k][l] p[i][k]
+            post = np.float32(post + f(w_pct_f) * mask * (bp[x].T @ P @ bp[y]))
+            post[post <= CUTOFF] = 0.0
+            post[lens[x]:, :] = 0.0
+            post[:, lens[y]:] = 0.0
+            out[x, y] = post
+            out[y, x] = post.T
+    for x in range(N):
+        out[x, x][np.arange(lens[x]), np.arange(lens[x])] = 1.0
+    return out

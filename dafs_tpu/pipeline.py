@@ -1,0 +1,233 @@
+"""End-to-end DAFS pipeline: the TPU-native mirror of class DAFS
+(src/dafs.cpp:71-153, run at :1781-1889).
+
+Host Python orchestrates (guide tree, projections, output); all heavy
+numerics (posterior models, PCT matmuls, similarity DP, the DD subgradient
+loop, final structure decode) run on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+
+import numpy as np
+
+from dafs_tpu import consistency, dd, guide_tree, projection
+from dafs_tpu.fasta import Fasta
+from dafs_tpu.typedefs import CUTOFF, AlnRow, gapped_seq
+from dafs_tpu.utils.crand import GlibcRand
+from dafs_tpu.utils.log import logger
+
+F = np.float32
+
+
+@dataclasses.dataclass
+class Options:
+    w: float = 4.0
+    eta0: float = 0.5
+    t_max: int = 600
+    n_refinement: int = 0
+    w_pct_a: float = 0.25
+    w_pct_s: float = 0.25
+    w_pct_f: float = 0.0
+    th_a: float = 0.01
+    th_s: tuple = (0.2,)
+    th_s1: tuple | None = None  # defaults to th_s
+    use_alifold: bool = True
+    use_bp_update: bool = False
+    use_bp_update1: bool = False
+    fold_decoder: str = "Nussinov"  # or "IPknot"
+    verbose: int = 0
+
+
+class Dafs:
+    def __init__(self, align_model, fold_model, opts: Options, alifold_model=None):
+        self.a_model = align_model
+        self.s_model = fold_model
+        self.alifold = alifold_model
+        self.o = opts
+        if self.o.th_s1 is None:
+            self.o.th_s1 = self.o.th_s
+        self._rand = GlibcRand()
+
+    # -- decoders ---------------------------------------------------------
+
+    def _decode_structure(self, p: np.ndarray, th_list) -> tuple[np.ndarray, str]:
+        """s_decoder1_->decode(p, ss, str): final common structure."""
+        if self.o.fold_decoder == "IPknot":
+            from dafs_tpu.decoders_ip import ipknot
+
+            return ipknot.decode(p, th_list)
+        import jax.numpy as jnp
+
+        from dafs_tpu.ops import nussinov
+
+        L = p.shape[0]
+        P = -(-L // 32) * 32
+        smp = np.full((P, P), np.float32(0.0 - F(th_list[0])), np.float32)
+        smp[:L, :L] = np.float32(p - F(th_list[0]))
+        _, ss = nussinov.decode(jnp.asarray(smp), jnp.int32(L), L=P)
+        ss = np.asarray(ss)[:L].astype(np.int64)
+        s = ["."] * L
+        for i in range(L):
+            if ss[i] >= 0:
+                s[i] = "("
+                s[ss[i]] = ")"
+        return ss, "".join(s)
+
+    # -- averaging with alifold mix --------------------------------------
+
+    def _avg_bp(self, aln, use_alifold: bool) -> np.ndarray:
+        ali = None
+        if use_alifold and self.alifold is not None:
+            ali = self.alifold.consensus_bp(aln, self.fa)
+        return projection.average_basepairing_probability(self.bp, aln, ali)
+
+    def _update_bp(self, p, ss, sstr, aln, use_alifold) -> np.ndarray:
+        """Constrained BP re-estimation (src/dafs.cpp:609-711)."""
+        L = int(aln[0].mask.shape[0])
+        N = len(aln)
+        plevel = len(self.o.th_s)
+        out = np.zeros((L, L), dtype=np.float32)
+        left_brackets = "([{<ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        for row in aln:
+            s = row.seq_id
+            ls = len(self.fa[s].seq)
+            idx = np.nonzero(row.mask)[0]
+            rev = np.full(L, -1, dtype=np.int64)
+            rev[idx] = np.arange(len(idx))
+            for plv in range(plevel):
+                con = ["?"] * ls
+                for i in range(L):
+                    if ss[i] >= 0 and rev[i] >= 0 and rev[ss[i]] >= 0:
+                        if sstr[i] == left_brackets[plv]:
+                            con[rev[i]] = "("
+                            con[rev[ss[i]]] = ")"
+                        else:
+                            con[rev[i]] = con[rev[ss[i]]] = "."
+                bp = self.s_model.bp_posterior_constrained(self.fa[s].seq, "".join(con))
+                out[np.ix_(idx, idx)] += np.float32(bp / F(N))
+        if use_alifold and self.alifold is not None:
+            for plv in range(plevel):
+                con = ["?"] * L
+                for i in range(L):
+                    if ss[i] >= 0:
+                        if sstr[i] == left_brackets[plv]:
+                            con[i] = "("
+                            con[ss[i]] = ")"
+                        else:
+                            con[i] = con[ss[i]] = "."
+                ali = self.alifold.consensus_bp(aln, self.fa, "".join(con))
+                out += ali
+            iu = np.triu_indices(L, 1)
+            out[iu] = np.float32(out[iu] / F(2.0))
+        out[np.tril_indices(L, 0)] = 0.0
+        out[out <= CUTOFF] = 0.0
+        return out
+
+    # -- merge ------------------------------------------------------------
+
+    def _align_alignments(self, aln1, aln2):
+        """One progressive merge (src/dafs.cpp:913-981). Returns (s, ss, aln)."""
+        p_x = self._avg_bp(aln1, self.o.use_alifold)
+        if self.o.use_bp_update:
+            ss0, str0 = self._decode_structure(p_x, self.o.th_s)
+            p_x = self._update_bp(p_x, ss0, str0, aln1, self.o.use_alifold)
+        p_y = self._avg_bp(aln2, self.o.use_alifold)
+        if self.o.use_bp_update:
+            ss0, str0 = self._decode_structure(p_y, self.o.th_s)
+            p_y = self._update_bp(p_y, ss0, str0, aln2, self.o.use_alifold)
+        p_z = projection.average_matching_probability(self.mp, aln1, aln2)
+
+        s, x, y, z = dd.solve_by_dd(
+            p_x, p_y, p_z, len(aln1), len(aln2),
+            w=self.o.w, th_s=list(self.o.th_s), th_a=self.o.th_a,
+            eta0=self.o.eta0, t_max=self.o.t_max,
+        )
+        aln = projection.project_alignment(aln1, aln2, z)
+        xx, yy = projection.project_secondary_structure(x, y, z)
+        ss = np.where(xx == yy, xx, -1)
+        return s, ss, aln
+
+    def _align(self, node: int):
+        score, (l, r) = self.tree[node]
+        if l == -1:
+            return 0.0, None, [AlnRow(node, np.ones(len(self.fa[node]), dtype=bool))]
+        _, _, aln1 = self._align(l)
+        _, _, aln2 = self._align(r)
+        return self._align_alignments(aln1, aln2)
+
+    def _refine(self, ss, aln):
+        """Random bipartition refinement (src/dafs.cpp:1539-1576)."""
+        while True:
+            group = [[], []]
+            for i in range(len(aln)):
+                group[self._rand.rand() % 2].append(i)
+            if group[0] and group[1]:
+                break
+        parts = []
+        for g in group:
+            rows = [aln[i] for i in g]
+            masks = np.stack([r.mask for r in rows])
+            keep = masks.any(axis=0)
+            parts.append([AlnRow(r.seq_id, r.mask[keep]) for r in rows])
+        return self._align_alignments(parts[0], parts[1])
+
+    # -- main -------------------------------------------------------------
+
+    def run(self, fa: list[Fasta]) -> str:
+        self.fa = fa
+        N = len(fa)
+        lens = [len(f) for f in fa]
+        out = io.StringIO()
+
+        self.bp = self.s_model.all_seqs(fa)
+        self.mp = self.a_model.all_pairs(fa)
+
+        if self.o.w_pct_f != 0.0:
+            self.mp = consistency.relax_fourway_consistency(
+                self.mp, self.bp, lens, self.o.w_pct_f
+            )
+
+        sim = np.ones((N, N), dtype=np.float32)
+        for i in range(N):
+            for j in range(i + 1, N):
+                sim[i, j] = sim[j, i] = consistency.similarity(
+                    self.mp[i, j], self.mp[i, j] > 0, lens[i], lens[j]
+                )
+
+        if self.o.w_pct_s != 0.0:
+            self.bp = consistency.relax_basepairing_probability(
+                self.bp, self.mp, sim, lens, self.o.w_pct_s
+            )
+        if self.o.w_pct_a != 0.0:
+            self.mp = consistency.relax_matching_probability(
+                self.mp, sim, lens, self.o.w_pct_a
+            )
+
+        self.tree = guide_tree.build_tree(sim)
+        out.write(guide_tree.print_tree(self.tree, [f.name for f in fa]) + "\n")
+
+        s, ss, aln = self._align(len(self.tree) - 1)
+
+        for _ in range(self.o.n_refinement):
+            s_new, ss_new, aln_new = self._refine(ss, aln)
+            if s_new > s:
+                s, ss, aln = s_new, ss_new, aln_new
+
+        # final common structure (src/dafs.cpp:1857-1873); use_alifold1_ is
+        # always true in the reference
+        p = self._avg_bp(aln, use_alifold=True)
+        if self.o.use_bp_update1:
+            ss0, str0 = self._decode_structure(p, self.o.th_s1)
+            p = self._update_bp(p, ss0, str0, aln, use_alifold=True)
+        ss, sstr = self._decode_structure(p, self.o.th_s1)
+
+        aln_sorted = sorted(aln, key=lambda r: r.seq_id)
+        out.write(">SS_cons\n")
+        out.write(sstr + "\n")
+        for row in aln_sorted:
+            out.write("> " + fa[row.seq_id].name + "\n")
+            out.write(gapped_seq(fa[row.seq_id].seq, row.mask) + "\n")
+        return out.getvalue()

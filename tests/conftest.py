@@ -11,5 +11,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The shell env pins JAX_PLATFORMS=axon (real TPU); os.environ alone does not
+# reliably override it, so force the CPU backend through the config API.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
