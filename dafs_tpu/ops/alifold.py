@@ -1,0 +1,614 @@
+"""RNAalifold consensus partition function (ViennaRNA 2.4.x alipf_fold).
+
+The reference mixes RNAalifold consensus base-pair probabilities into every
+progressive-merge step and the final decode (src/alifold.cpp:49-84,
+src/dafs.cpp:561-607).  This is the TPU-native equivalent: the McCaskill
+wavefront of ops/mccaskill.py extended with
+- a per-sequence axis: loop energies are evaluated per sequence with
+  gap-aware loop sizes (a2s), sequence-local neighbor bases (S5/S3) and
+  NN (type 7) handling for gapped pairs, then multiplied across sequences;
+- the covariance pair score pscore[i,j] (conservation/compensation measure,
+  Vienna's make_pscores with the default distance matrix, cv_fact=nc_fact=1),
+  gating pairs at MINPSCORE=-200 and contributing exp(pscore/(kT/10*n_seq));
+- column-based multiloop unpaired costs (expMLbase^n_seq per column) and
+  column-based interior stencil bounds, as in alipfold.c.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafs_tpu.ops import energy_params as ep
+from dafs_tpu.typedefs import AlnRow
+
+TURN = ep.TURN
+MAXLOOP = ep.MAXLOOP
+UNIT = 100.0
+MINPSCORE = -2.0 * UNIT
+
+# pair-type distance matrix (alifold.c, ribo=0 default)
+DM = np.array(
+    [
+        [0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 2, 2, 1, 2, 2],
+        [0, 2, 0, 1, 2, 2, 2],
+        [0, 2, 1, 0, 2, 1, 2],
+        [0, 1, 2, 2, 0, 2, 1],
+        [0, 2, 2, 1, 2, 0, 2],
+        [0, 2, 2, 2, 1, 2, 0],
+    ],
+    dtype=np.float64,
+)
+
+_EXP_CACHE: dict = {}
+
+
+def _tables(bl: bool) -> dict:
+    if bl not in _EXP_CACHE:
+        _EXP_CACHE[bl] = ep.exp_tables(bl)
+    return _EXP_CACHE[bl]
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def make_pscores(S: np.ndarray, n: int, cv_fact=1.0, nc_fact=1.0) -> np.ndarray:
+    """Covariance scores (alifold.c make_pscores, default dm)."""
+    nseq = S.shape[0]
+    pscore = np.full((n + 2, n + 2), -2.0 * UNIT * 10, dtype=np.float64)
+    pt = ep.BP_PAIR[S[:, :, None], S[:, None, :]]  # (nseq, L+2, L+2)
+    both_gap = (S[:, :, None] == 0) & (S[:, None, :] == 0)
+    for i in range(1, n):
+        for j in range(i + TURN + 1, n + 1):
+            types = pt[:, i, j]
+            pfreq = np.zeros(8, dtype=np.int64)
+            for s in range(nseq):
+                if types[s] == 0:
+                    if both_gap[s, i, j]:
+                        pfreq[7] += 1
+                    else:
+                        pfreq[0] += 1
+                else:
+                    pfreq[types[s]] += 1
+            if pfreq[0] * 2 + pfreq[7] > nseq:
+                continue  # stays NONE
+            score = 0.0
+            for k in range(1, 7):
+                for l in range(k, 7):
+                    score += pfreq[k] * pfreq[l] * DM[k, l]
+            pscore[i, j] = cv_fact * (
+                (UNIT * score) / nseq - nc_fact * UNIT * (pfreq[0] + pfreq[7] * 0.25)
+            )
+    return pscore
+
+
+@functools.partial(jax.jit, static_argnames=("L", "NS"))
+def _ali_inside_outside(
+    S, S5, S3, pt7, psc_fac, allow_pair, allow_unpaired, a2s,
+    tri_code, tetra_code, hexa_code, n, sc,
+    t_stack, t_hairpin, t_bulge, t_internal,
+    t_mmH, t_mmI, t_mm1n, t_mm23, t_mmExt, t_mmM,
+    t_d5, t_d3, t_i11, t_i21, t_i22,
+    t_mlb, t_mlc, t_mli, t_tau, t_ninio, t_lxc,
+    t_tetra, t_tri, t_hexa,
+    *, L, NS,
+):
+    """Consensus inside+outside.  Shapes: S,S5,S3,a2s (NS, L+2); pt7
+    (NS, L+2, L+2) per-seq types with 0->7 remap; psc_fac (L+2, L+2) the
+    exp(pscore/kTn) factor; tri/tetra/hexa codes (NS, L+2) per-seq k-mer
+    codes in SEQUENCE coordinates indexed by a2s (value -1 => no bonus)."""
+    f = jnp.float32
+    idx = jnp.arange(L + 2)
+    RT = jnp.asarray(ep.RTYPE)
+
+    bsn = t_mlb ** NS * sc  # per-column multiloop unpaired factor
+    logv = jnp.where((idx >= 1) & (idx <= n) & allow_unpaired, 1.0, 0.0)
+    blocked = jnp.cumsum(jnp.where(idx >= 1, 1.0 - logv, 0.0))
+    seg_len = idx[None, :] - idx[:, None] + 1
+    seg_blocked = blocked[None, :] - blocked[jnp.maximum(idx[:, None] - 1, 0)]
+    bs_seg = jnp.where(
+        seg_len <= 0, 1.0, jnp.where(seg_blocked > 0, 0.0, bsn ** seg_len.astype(f))
+    )
+
+    ss = jnp.arange(NS)
+
+    def mlstem_prod(tp_s, s5_s, s3_s):
+        # prod over seqs of exp_E_MLstem with both neighbors
+        v = t_mmM[tp_s, s5_s, s3_s] * jnp.where(tp_s > 2, t_tau, 1.0) * t_mli
+        return jnp.prod(v, axis=0)
+
+    def hairpin_prod(i_vec, j_vec):
+        # (cells,) product over sequences of exp_E_Hairpin with gap-aware u
+        ic = jnp.clip(i_vec, 0, L + 1)
+        jc = jnp.clip(j_vec, 0, L + 1)
+        u = a2s[:, jnp.clip(jc - 1, 0, L + 1)] - a2s[:, ic]  # (NS, cells)
+        u = jnp.maximum(u, 0)
+        tp = pt7[:, ic, jc]
+        uc = jnp.clip(u, 0, MAXLOOP)
+        base = t_hairpin[uc] * jnp.where(
+            u > MAXLOOP, t_lxc ** (jnp.log(u.astype(f) / 30.0)), 1.0
+        )
+        s5 = S3[:, ic]  # 3' neighbor of i in seq coords = 5' loop base
+        s3 = S5[:, jc]  # 5' neighbor of j = 3' loop base
+        mm = t_mmH[tp, s5, s3]
+        tau = jnp.where(tp > 2, t_tau, 1.0)
+        tri = t_tri[tri_code[:, ic]]
+        tetra = t_tetra[tetra_code[:, ic]]
+        hexa = t_hexa[hexa_code[:, ic]]
+        val = jnp.where(
+            u == 3,
+            jnp.where(tri >= 0, tri, base * tau),
+            jnp.where(
+                (u == 4) & (tetra >= 0),
+                tetra,
+                jnp.where((u == 6) & (hexa >= 0), hexa, base * mm),
+            ),
+        )
+        # exp_E_Hairpin: u < 3 -> exphairpin[u] which is exp(-INF)=0
+        val = jnp.where(u < 3, 0.0, val)
+        # skip factor entirely when the sequence has no bases before i
+        val = jnp.where(a2s[:, ic] < 1, 1.0, val)
+        return jnp.prod(val, axis=0)
+
+    uu = jnp.arange(MAXLOOP + 1)
+
+    def intloop_K(tp, tp2, u1, u2, si1, sj1, sp1, sq1):
+        """per-seq exp_E_IntLoop factor; u1/u2 are gap-aware sizes >= 0."""
+        ns_ = jnp.minimum(u1, u2)
+        nl_ = jnp.maximum(u1, u2)
+        nlc = jnp.clip(nl_, 0, MAXLOOP)
+        usum = jnp.clip(u1 + u2, 0, MAXLOOP)
+        lxc_f = jnp.where(
+            u1 + u2 > MAXLOOP,
+            t_lxc ** (jnp.log((u1 + u2).astype(f) / 30.0)),
+            1.0,
+        )
+        stack = t_stack[tp, tp2]
+        bulge = t_bulge[nlc] * jnp.where(
+            nl_ == 1,
+            t_stack[tp, tp2],
+            jnp.where(tp > 2, t_tau, 1.0) * jnp.where(tp2 > 2, t_tau, 1.0),
+        )
+        i11 = t_i11[tp, tp2, si1, sj1]
+        i21a = t_i21[tp, tp2, si1, sq1, sj1]
+        i21b = t_i21[tp2, tp, sq1, si1, sp1]
+        i22 = t_i22[tp, tp2, si1, sp1, sq1, sj1]
+        asym = jnp.clip(nl_ - ns_, 0, MAXLOOP)
+        mm1n = (
+            t_internal[jnp.clip(nl_ + 1, 0, MAXLOOP)]
+            * t_ninio[asym]
+            * t_mm1n[tp, si1, sj1]
+            * t_mm1n[tp2, sq1, sp1]
+        )
+        mm23 = (
+            t_internal[5] * t_ninio[1] * t_mm23[tp, si1, sj1] * t_mm23[tp2, sq1, sp1]
+        )
+        generic = (
+            t_internal[usum]
+            * lxc_f
+            * t_ninio[asym]
+            * t_mmI[tp, si1, sj1]
+            * t_mmI[tp2, sq1, sp1]
+        )
+        return jnp.where(
+            nl_ == 0,
+            stack,
+            jnp.where(
+                ns_ == 0,
+                bulge,
+                jnp.where(
+                    (ns_ == 1) & (nl_ == 1),
+                    i11,
+                    jnp.where(
+                        (ns_ == 1) & (nl_ == 2),
+                        jnp.where(u1 == 1, i21a, i21b),
+                        jnp.where(
+                            (ns_ == 2) & (nl_ == 2),
+                            i22,
+                            jnp.where(
+                                ns_ == 1,
+                                mm1n,
+                                jnp.where((ns_ == 2) & (nl_ == 3), mm23, generic),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    def interior_terms(i_vec, j_vec, inner, outer_mode, qmat):
+        """sum over the column stencil of qmat[k,l] * prod_s K_s.
+
+        outer_mode=False: (i,j) outer, (k,l)=(i+1+u, j-1-v) inner (inside pass)
+        outer_mode=True:  (i,j) inner, (k,l)=(i-1-u, j+1+v) outer (outside)
+        """
+        i_ = i_vec[:, None, None]
+        j_ = j_vec[:, None, None]
+        u = uu[None, :, None]
+        v = uu[None, None, :]
+        if not outer_mode:
+            k = i_ + 1 + u
+            l = j_ - 1 - v
+            valid = (u + v <= MAXLOOP) & (l - k > TURN) & (l >= 1) & (k <= L)
+        else:
+            k = i_ - 1 - u
+            l = j_ + 1 + v
+            valid = (u + v <= MAXLOOP) & (k >= 1) & (l <= n)
+        kc = jnp.clip(k, 0, L + 1)
+        lc = jnp.clip(l, 0, L + 1)
+        if not outer_mode:
+            valid &= allow_pair[kc, lc]
+        qkl = qmat[kc, lc]
+
+        # per-seq factors; broadcast over (NS, cells, 31, 31)
+        if not outer_mode:
+            oi, oj, ik, il = i_, j_, k, l  # outer (i,j), inner (k,l)
+        else:
+            oi, oj, ik, il = k, l, i_, j_
+        oic = jnp.clip(oi, 0, L + 1)
+        ojc = jnp.clip(oj, 0, L + 1)
+        ikc = jnp.clip(ik, 0, L + 1)
+        ilc = jnp.clip(il, 0, L + 1)
+        tp = pt7[:, oic, ojc]
+        tp2 = RT[pt7[:, ikc, ilc]]
+        u1 = jnp.maximum(a2s[:, jnp.clip(ikc - 1, 0, L + 1)] - a2s[:, oic], 0)
+        u2 = jnp.maximum(a2s[:, jnp.clip(ojc - 1, 0, L + 1)] - a2s[:, ilc], 0)
+        si1 = S3[:, oic]
+        sj1 = S5[:, ojc]
+        sp1 = S5[:, ikc]
+        sq1 = S3[:, ilc]
+        K = intloop_K(tp, tp2, u1, u2, si1, sj1, sp1, sq1)
+        Kp = jnp.prod(K, axis=0)
+        # column-count scale
+        du = (ik - oi - 1) + (oj - il - 1)
+        Kp = Kp * sc ** (du + 2).astype(f)
+        if outer_mode:
+            # qmat is pout/qb of the outer pair: dividing by qb stripped the
+            # outer pair's covariance factor, so re-apply it on this path
+            Kp = Kp * psc_fac[oic, ojc]
+        term = jnp.where(valid, qkl * Kp, 0.0)
+        return jnp.sum(term, axis=(1, 2))
+
+    ii_all = jnp.arange(L + 2)
+
+    def inside_step(carry, d):
+        qb, qm, qm1 = carry
+        i_vec = ii_all
+        j_vec = i_vec + d
+        ok = (i_vec >= 1) & (j_vec <= n)
+        jc = jnp.clip(j_vec, 0, L + 1)
+        pair_ok = ok & allow_pair[i_vec, jc] & (d > TURN)
+
+        hp = hairpin_prod(i_vec, j_vec)
+        hp = hp * sc ** (d + 1).astype(f)
+        interior = interior_terms(i_vec, j_vec, True, False, qb)
+
+        kk = ii_all[None, :]
+        qm_l = qm[jnp.clip(i_vec + 1, 0, L + 1)[:, None], jnp.clip(kk - 1, 0, L + 1)]
+        qm1_r = qm1[kk, jnp.clip(j_vec - 1, 0, L + 1)[:, None]]
+        mlk = (kk >= i_vec[:, None] + 2) & (kk <= j_vec[:, None] - 1)
+        mlsum = jnp.sum(jnp.where(mlk, qm_l * qm1_r, 0.0), axis=1)
+        tp_cells = pt7[:, i_vec, jc]
+        close = (
+            t_mmM[RT[tp_cells], S5[:, jc], S3[:, i_vec]]
+            * jnp.where(RT[tp_cells] > 2, t_tau, 1.0)
+            * t_mli
+        )
+        # t_mlc is already expMLclosing^n_seq (host-side)
+        ml = mlsum * jnp.prod(close, axis=0) * t_mlc * sc * sc
+
+        qb_new = jnp.where(pair_ok, (hp + interior + ml) * psc_fac[i_vec, jc], 0.0)
+        qb = qb.at[i_vec, j_vec].set(qb_new, mode="drop")
+
+        gate_j = jnp.where(allow_unpaired[jc], 1.0, 0.0)
+        qm1_prev = qm1[i_vec, jnp.clip(j_vec - 1, 0, L + 1)]
+        stem_f = mlstem_prod(tp_cells, S5[:, i_vec], S3[:, jc])
+        qm1_new = jnp.where(ok, qm1_prev * bsn * gate_j + qb_new * stem_f, 0.0)
+        qm1 = qm1.at[i_vec, j_vec].set(qm1_new, mode="drop")
+
+        qm1_col = qm1[kk, jc[:, None]]
+        pre = bs_seg[i_vec[:, None], jnp.clip(kk - 1, 0, L + 1)] + qm[
+            i_vec[:, None], jnp.clip(kk - 1, 0, L + 1)
+        ]
+        kmask = (kk >= i_vec[:, None]) & (kk <= j_vec[:, None])
+        qm_new = jnp.where(ok, jnp.sum(jnp.where(kmask, pre * qm1_col, 0.0), axis=1), 0.0)
+        qm = qm.at[i_vec, j_vec].set(qm_new, mode="drop")
+        return (qb, qm, qm1), None
+
+    Z = jnp.zeros((L + 2, L + 2), f)
+    (qb, qm, qm1), _ = jax.lax.scan(inside_step, (Z, Z, Z), jnp.arange(1, L + 1))
+
+    # exterior factors per pair: prod over seqs of exp_E_ExtLoop
+    i_g = ii_all[:, None]
+    j_g = ii_all[None, :]
+    tp_g = pt7  # (NS, L+2, L+2)
+    s5g = S5[:, :, None]  # base before i (seq coords)
+    s3g = S3[:, None, :]  # base after j
+    has5 = (i_g > 1)[None]
+    has3 = (j_g < n)[None]
+    s5e = jnp.broadcast_to(s5g, (NS, L + 2, L + 2))
+    s3e = jnp.broadcast_to(s3g, (NS, L + 2, L + 2))
+    mm = jnp.where(
+        has5 & has3,
+        t_mmExt[tp_g, s5e, s3e],
+        jnp.where(has5, t_d5[tp_g, s5e], jnp.where(has3, t_d3[tp_g, s3e], 1.0)),
+    ) * jnp.where(tp_g > 2, t_tau, 1.0)
+    ext_m = jnp.prod(mm, axis=0)
+    qb_ext = qb * ext_m
+
+    def q1_step(carry, j):
+        q1 = carry
+        gate_j = jnp.where(allow_unpaired[jnp.clip(j, 0, L + 1)], 1.0, 0.0)
+        stems = jnp.sum(
+            jnp.where(
+                (ii_all >= 1) & (ii_all <= j),
+                q1[jnp.clip(ii_all - 1, 0, L + 1)] * qb_ext[ii_all, jnp.clip(j, 0, L + 1)],
+                0.0,
+            )
+        )
+        val = q1[jnp.clip(j - 1, 0, L + 1)] * sc * gate_j + stems
+        q1 = q1.at[j].set(jnp.where(j <= n, val, q1[jnp.clip(j, 0, L + 1)]), mode="drop")
+        return q1, None
+
+    q1, _ = jax.lax.scan(
+        q1_step, jnp.zeros((L + 2,), f).at[0].set(1.0), jnp.arange(1, L + 1)
+    )
+
+    def qn_step(carry, i):
+        qn = carry
+        gate_i = jnp.where(allow_unpaired[jnp.clip(i, 0, L + 1)], 1.0, 0.0)
+        stems = jnp.sum(
+            jnp.where(
+                (ii_all >= i) & (ii_all <= n),
+                qb_ext[jnp.clip(i, 0, L + 1), ii_all] * qn[jnp.clip(ii_all + 1, 0, L + 1)],
+                0.0,
+            )
+        )
+        val = qn[jnp.clip(i + 1, 0, L + 1)] * sc * gate_i + stems
+        qn = qn.at[i].set(jnp.where(i <= n, val, qn[jnp.clip(i, 0, L + 1)]), mode="drop")
+        return qn, None
+
+    qn_init = jnp.zeros((L + 2,), f).at[jnp.clip(n + 1, 0, L + 1)].set(1.0)
+    qn, _ = jax.lax.scan(qn_step, qn_init, jnp.arange(L, 0, -1))
+    Q = q1[jnp.clip(n, 0, L + 1)]
+
+    qb_safe = jnp.where(qb > 0, qb, 1.0)
+
+    def outside_step(carry, d):
+        pout, A1, A2 = carry
+        i_vec = ii_all
+        j_vec = i_vec + d
+        ok = (i_vec >= 1) & (j_vec <= n)
+        jc = jnp.clip(j_vec, 0, L + 1)
+        pair_ok = ok & allow_pair[i_vec, jc] & (d > TURN)
+
+        w_ext = (
+            q1[jnp.clip(i_vec - 1, 0, L + 1)]
+            * qn[jnp.clip(j_vec + 1, 0, L + 1)]
+            * ext_m[i_vec, jc]
+            / Q
+        )
+
+        C_out = pout / qb_safe
+        w_int = interior_terms(i_vec, j_vec, False, True, C_out)
+
+        ll = ii_all[None, :]
+        qm_r = qm[jnp.clip(j_vec + 1, 0, L + 1)[:, None], jnp.clip(ll - 1, 0, L + 1)]
+        e_r = bs_seg[jnp.clip(j_vec + 1, 0, L + 1)[:, None], jnp.clip(ll - 1, 0, L + 1)]
+        lmask = (ll >= j_vec[:, None] + 1) & (ll <= n)
+        mlsum = jnp.sum(
+            jnp.where(
+                lmask,
+                (A1[i_vec[:, None], ll] + A2[i_vec[:, None], ll]) * qm_r
+                + A1[i_vec[:, None], ll] * e_r,
+                0.0,
+            ),
+            axis=1,
+        )
+        tp_cells = pt7[:, i_vec, jc]
+        stem_f = mlstem_prod(tp_cells, S5[:, i_vec], S3[:, jc])
+        w_ml = mlsum * stem_f
+
+        pnew = jnp.where(pair_ok, qb[i_vec, jc] * (w_ext + w_int + w_ml), 0.0)
+        pout = pout.at[i_vec, j_vec].set(pnew, mode="drop")
+
+        ld = ii_all
+        kd = ld - d
+        okd = (kd >= 1) & (ld <= n)
+        kdc = jnp.clip(kd, 0, L + 1)
+        tp_kl = pt7[:, kdc, ld]
+        close = (
+            t_mmM[RT[tp_kl], S5[:, ld], S3[:, kdc]]
+            * jnp.where(RT[tp_kl] > 2, t_tau, 1.0)
+            * t_mli
+        )
+        Ccell = jnp.where(
+            okd,
+            pout[kdc, ld] / qb_safe[kdc, ld] * psc_fac[kdc, ld]
+            * jnp.prod(close, axis=0) * t_mlc * sc * sc,
+            0.0,
+        )
+        irow = ii_all[:, None]
+        upd1 = Ccell[None, :] * qm[jnp.clip(kd + 1, 0, L + 1)[None, :], jnp.clip(irow - 1, 0, L + 1)]
+        upd2 = Ccell[None, :] * bs_seg[jnp.clip(kd + 1, 0, L + 1)[None, :], jnp.clip(irow - 1, 0, L + 1)]
+        iok = (irow > kd[None, :]) & (irow < ld[None, :])
+        A1 = A1 + jnp.where(iok, upd1, 0.0)
+        A2 = A2 + jnp.where(iok, upd2, 0.0)
+        return (pout, A1, A2), None
+
+    P0 = jnp.zeros((L + 2, L + 2), f)
+    (pout, A1, A2), _ = jax.lax.scan(outside_step, (P0, P0, P0), jnp.arange(L, 0, -1))
+    return pout, Q, dict(qb=qb, qm=qm, qm1=qm1, q1=q1, qn=qn, ext_m=ext_m, A1=A1, A2=A2)
+
+
+class Alifold:
+    """Adapter mirroring class Alifold (src/alifold.h:29-35)."""
+
+    def __init__(self, th: float, bl: bool = True):
+        self.th = th
+        self.bl = bl
+
+    def consensus_bp(self, aln: list[AlnRow], fa, constraint: str | None = None):
+        seqs = []
+        for row in aln:
+            s = fa[row.seq_id].seq
+            out = []
+            k = 0
+            for m in row.mask:
+                out.append(s[k] if m else "-")
+                k += bool(m)
+            seqs.append("".join(out))
+        return consensus_bp(seqs, self.th, bl=self.bl, constraint=constraint)
+
+
+def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None) -> np.ndarray:
+    """(L, L) upper-triangular consensus pair probabilities (entries > th)."""
+    t = _tables(bl)
+    nseq = len(seqs)
+    n = len(seqs[0])
+    L = _round_up(n, 32)
+    NS = nseq
+
+    S = np.zeros((NS, L + 2), dtype=np.int32)
+    for s_i, s in enumerate(seqs):
+        enc = ep.encode_rna(s.replace("-", "\0").replace("_", "\0"))
+        S[s_i, 1 : n + 1] = enc
+    a2s = np.zeros((NS, L + 2), dtype=np.int32)
+    S5 = np.zeros((NS, L + 2), dtype=np.int32)
+    S3 = np.zeros((NS, L + 2), dtype=np.int32)
+    for s_i in range(NS):
+        cnt = 0
+        last = 0
+        for i in range(1, n + 1):
+            S5[s_i, i] = last
+            if S[s_i, i] > 0:
+                cnt += 1
+                last = S[s_i, i]
+            a2s[s_i, i] = cnt
+        a2s[s_i, n + 1 :] = cnt
+        nxt = 0
+        for i in range(n, 0, -1):
+            S3[s_i, i] = nxt
+            if S[s_i, i] > 0:
+                nxt = S[s_i, i]
+    # S5[i] should be the base 5' of i INCLUDING i's own... Vienna S5[s][i] is
+    # the base preceding i (skipping gaps), S3[s][i] the base following i.
+    # Our fill above matches that definition.
+
+    psc_n = make_pscores(S[:, : n + 2], n)
+    psc = np.full((L + 2, L + 2), -2.0 * UNIT * 10, dtype=np.float64)
+    psc[: n + 2, : n + 2] = psc_n
+    kTn = t["kt"] / 10.0 * nseq
+    psc_fac = np.exp(np.where(psc >= MINPSCORE, psc, -1e9) / kTn)
+
+    pt7 = ep.BP_PAIR[S[:, :, None], S[:, None, :]].astype(np.int32)
+    pt7[pt7 == 0] = 7
+
+    ii = np.arange(L + 2)
+    allow_pair = psc >= MINPSCORE
+    allow_pair &= (ii[None, :] - ii[:, None]) > TURN
+    allow_pair &= (ii[:, None] >= 1) & (ii[None, :] <= n)
+    allow_unpaired = np.ones(L + 2, dtype=bool)
+    if constraint is not None:
+        assert len(constraint) == n
+        stack = []
+        for k, ch in enumerate(constraint):
+            pos = k + 1
+            if ch == "x":
+                allow_pair[pos, :] = False
+                allow_pair[:, pos] = False
+            elif ch == "(":
+                stack.append(pos)
+            elif ch == ")":
+                a = stack.pop()
+                keep = allow_pair[a, pos]
+                allow_pair[a, :] = False
+                allow_pair[:, a] = False
+                allow_pair[pos, :] = False
+                allow_pair[:, pos] = False
+                allow_pair[a, pos] = keep
+
+    # per-seq k-mer codes at alignment position i: built over the UNGAPPED
+    # sequence starting at sequence position a2s[i] (alipfold.c loopseq)
+    def seq_kmer(seq_codes, k):
+        ung = seq_codes[seq_codes > 0]
+        out = np.zeros(L + 2, dtype=np.int32)
+        tbl = np.full(len(ung) + 2, 0, dtype=np.int32)
+        for p0 in range(1, len(ung) - k + 2):
+            v = 0
+            for dd in range(k):
+                v = v * 4 + int(ung[p0 + dd - 1]) - 1
+            tbl[p0] = v
+        return tbl, ung
+
+    tri_code = np.zeros((NS, L + 2), dtype=np.int32)
+    tetra_code = np.zeros((NS, L + 2), dtype=np.int32)
+    hexa_code = np.zeros((NS, L + 2), dtype=np.int32)
+    for s_i in range(NS):
+        ung = S[s_i][S[s_i] > 0]
+        m = len(ung)
+        for i in range(1, n + 1):
+            p0 = a2s[s_i, i]  # sequence position of the base at/before col i
+            if S[s_i, i] > 0:
+                for k, arr in ((5, tri_code), (6, tetra_code), (8, hexa_code)):
+                    if 1 <= p0 <= m - k + 1:
+                        v = 0
+                        for dd in range(k):
+                            v = v * 4 + int(ung[p0 + dd - 1]) - 1
+                        arr[s_i, i] = v
+                    else:
+                        arr[s_i, i] = 0
+
+    f32 = np.float32
+    tab = {
+        "t_stack": t["stack"], "t_hairpin": t["hairpin"], "t_bulge": t["bulge"],
+        "t_internal": t["internal"], "t_mmH": t["mismatchH"], "t_mmI": t["mismatchI"],
+        "t_mm1n": t["mismatch1nI"], "t_mm23": t["mismatch23I"],
+        "t_mmExt": t["mismatchExt"], "t_mmM": t["mismatchM"],
+        "t_d5": t["dangle5"], "t_d3": t["dangle3"],
+        "t_i11": t["int11"], "t_i21": t["int21"], "t_i22": t["int22"],
+        "t_mlb": f32(t["ml_base"]), "t_mlc": f32(t["ml_closing"] ** nseq),
+        "t_mli": f32(t["ml_intern"]), "t_tau": f32(t["terminal_au"]),
+        "t_ninio": t["ninio"], "t_lxc": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_tetra": t["tetraloop"], "t_tri": t["triloop"], "t_hexa": t["hexaloop"],
+    }
+    tab = {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in tab.items()}
+
+    args = dict(
+        S=jnp.asarray(S), S5=jnp.asarray(S5), S3=jnp.asarray(S3),
+        pt7=jnp.asarray(pt7), psc_fac=jnp.asarray(psc_fac, jnp.float32),
+        allow_pair=jnp.asarray(allow_pair),
+        allow_unpaired=jnp.asarray(allow_unpaired),
+        a2s=jnp.asarray(a2s),
+        tri_code=jnp.asarray(tri_code), tetra_code=jnp.asarray(tetra_code),
+        hexa_code=jnp.asarray(hexa_code), n=jnp.int32(n),
+    )
+
+    # per-column downscale ~ (per-base growth)^-nseq; see ops/mccaskill.py
+    sc = f32(np.exp(-0.6 * nseq))
+    ok = False
+    for _ in range(24):
+        pout, Q, _dbg = _ali_inside_outside(**args, sc=jnp.float32(sc), **tab, L=L, NS=NS)
+        Qv = float(Q)
+        if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
+            ok = True
+            break
+        if not np.isfinite(Qv) or Qv >= 1e25:
+            sc = f32(sc * 0.8)
+        else:
+            sc = f32(sc * 1.25)
+    if not ok:
+        raise FloatingPointError(
+            f"alifold: partition function did not stabilize (L={n}, nseq={nseq})"
+        )
+    pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
+    pm[pm <= th] = 0.0
+    # Vienna's plist export keeps entries with p > 1e-6
+    pm[pm <= 1e-6] = 0.0
+    np.clip(pm, 0.0, 1.0, out=pm)
+    return pm

@@ -580,20 +580,28 @@ def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = 
     }
     tab = {k: (jnp.asarray(np.asarray(v, np.float32))) for k, v in tab.items()}
 
-    # adaptive scale: retry until Q is finite and nonzero
-    sc = f32(np.exp(0.6))  # ~ exp(-1.07 * (-0.35 kcal/base) / kT)
-    for _ in range(12):
+    # adaptive scale (Vienna's pf_scale^-1): downweight each column by the
+    # expected per-base Boltzmann growth so q stays in float range; retry
+    # smaller on overflow, larger on underflow.  Probabilities are
+    # scale-invariant, so this only affects rounding.
+    sc = f32(np.exp(-0.6))  # ~ exp(+1.07 * (-0.35 kcal/base) * 10 / kT)
+    ok = False
+    for _ in range(16):
         pout, Q = _inside_outside(**args, sc=jnp.float32(sc), **tab, L=L)
         Qv = float(Q)
-        if np.isfinite(Qv) and Qv > 1e-20:
-            # also require pout finite
+        if np.isfinite(Qv) and 1e-25 < Qv < 1e25:
             pm = np.asarray(pout)
             if np.isfinite(pm).all():
+                ok = True
                 break
-        if not np.isfinite(Qv) or Qv == np.inf:
-            sc = f32(sc * 1.4)  # too large values -> more aggressive downscale
+        if not np.isfinite(Qv) or Qv >= 1e25:
+            sc = f32(sc * 0.8)
         else:
-            sc = f32(sc / 1.4)
+            sc = f32(sc * 1.25)
+    if not ok:
+        raise FloatingPointError(
+            f"mccaskill: partition function did not stabilize (L={n})"
+        )
     pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
     pm[pm <= th] = 0.0
     np.clip(pm, 0.0, 1.0, out=pm)
