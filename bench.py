@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: RF00005 all-pairs pair-HMM throughput on the current backend.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is measured
+against a nominal 5e7 DP cell-updates/s — the ballpark of the reference's
+single-core C++ ProbCons forward/backward (3 float ops chains per cell-state,
+probconsRNA/ProbabilisticModel.h:145-259) — so >1.0 means faster than one
+CPU core of the reference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_CELLS_PER_S = 5.0e7  # nominal single-core C++ pair-HMM throughput
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
+    import dafs_tpu
+    from dafs_tpu.models import probcons_params as PP
+    from dafs_tpu.ops import pairhmm
+    import jax.numpy as jnp
+
+    fa = dafs_tpu.load_fasta("/root/reference/examples/RF00005:0.fa")
+    pairs = [(i, j) for i in range(len(fa)) for j in range(i + 1, len(fa))]
+    seqs1 = [fa[i].seq for i, _ in pairs]
+    seqs2 = [fa[j].seq for _, j in pairs]
+
+    def rup(n, m):
+        return -(-n // m) * m
+
+    l1max = rup(max(map(len, seqs1)), 32)
+    l2max = rup(max(map(len, seqs2)), 32)
+    B = len(pairs)
+    codes1 = np.zeros((B, l1max + 1), np.int32)
+    codes2 = np.zeros((B, l2max + 1), np.int32)
+    len1 = np.array([len(s) for s in seqs1], np.int32)
+    len2 = np.array([len(s) for s in seqs2], np.int32)
+    for b, s in enumerate(seqs1):
+        codes1[b, 1 : len(s) + 1] = PP.encode(s)
+    for b, s in enumerate(seqs2):
+        codes2[b, 1 : len(s) + 1] = PP.encode(s)
+    args = (
+        jnp.asarray(codes1), jnp.asarray(len1),
+        jnp.asarray(codes2), jnp.asarray(len2),
+    )
+
+    # warmup/compile
+    out = pairhmm.forward_backward_posterior(*args, l1max=l1max, l2max=l2max)
+    out.block_until_ready()
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pairhmm.forward_backward_posterior(*args, l1max=l1max, l2max=l2max)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    # effective (unpadded) DP cell-state updates: forward + backward sweeps,
+    # 3 states per cell
+    cells = int(np.sum((len1 + 1).astype(np.int64) * (len2 + 1)) * 3 * 2)
+    cells_per_s = cells / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rf00005_allpairs_pairhmm_cell_updates_per_s",
+                "value": round(cells_per_s, 1),
+                "unit": "cell-state-updates/s/chip",
+                "vs_baseline": round(cells_per_s / REF_CELLS_PER_S, 3),
+                "detail": {
+                    "seq_pairs_per_s": round(B / dt, 2),
+                    "wall_s_per_allpairs_batch": round(dt, 5),
+                    "backend": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

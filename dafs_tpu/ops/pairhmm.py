@@ -8,6 +8,11 @@ float32 expression tree (same LOG_ADD/LOG_PLUS_EQUALS approximations, same
 accumulation order) as the reference, so results agree to the last few ulps
 with the C++ binary while the wavefront exposes B*L-way parallelism per step.
 
+Performance notes: all emission lookups are materialized once in
+diagonal-major layout (ndiag, B, imax) and streamed through the scans as xs,
+so the scan bodies are pure elementwise VPU work (no gathers); boundary
+handling uses iota comparisons.
+
 State order: 0=M, 1=Ix (gap in seq2), 2=Iy (gap in seq1).
 """
 
@@ -67,7 +72,7 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     """
     t = {k: jnp.asarray(v) for k, v in tables().items()}
     B = codes1.shape[0]
-    imax = l1max + 1  # diagonal index range: i in [0, l1max]
+    imax = l1max + 1  # diagonal index i in [0, l1max]
     ndiag = l1max + l2max + 1
 
     init_log = t["init"]
@@ -79,68 +84,61 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     len1b = len1[:, None]
     len2b = len2[:, None]
 
-    # per-position emissions, fetched once
-    ins1 = ins_t[codes1]  # (B, l1max+1): ins score of seq1 char at position i
-    ins2 = ins_t[codes2]
+    # --- emissions, materialized once in diagonal-major layout -------------
+    # M_diag[d, b, i] = log emitPairs(c1[b, i], c2[b, d - i])
+    dd = jnp.arange(ndiag)[:, None, None]
+    ib = jnp.arange(imax)[None, None, :]
+    j_of = dd - ib  # (ndiag, 1, imax)
+    jc = jnp.clip(j_of, 0, l2max)
+    c2_diag = jnp.take_along_axis(
+        jnp.broadcast_to(codes2[None], (ndiag, B, l2max + 1)),
+        jnp.broadcast_to(jc, (ndiag, B, imax)),
+        axis=2,
+    )  # (ndiag, B, imax)
+    c1_b = codes1[None, :, :imax]  # (1, B, imax)
+    M_diag = match_t[jnp.broadcast_to(c1_b, c2_diag.shape), c2_diag]
+    E2_diag = ins_t[c2_diag]  # ins score of seq2 char at column j = d - i
+    ins1 = ins_t[codes1[:, :imax]]  # (B, imax): ins score of seq1 char at i
+    ins1_next = _shift_left(ins1, jnp.float32(0.0))  # char at i+1
 
-    c1 = codes1  # (B, l1max+1)
-
-    def fwd_step(carry, d):
+    def fwd_step(carry, xs):
         prev, prev2 = carry  # each (B, 3, imax): diagonals d-1, d-2
+        d, m_d, e2_d = xs
         j_idx = d - i_idx  # (1, imax)
         valid = (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
         not_init = (i_idx > 1) | (j_idx > 1)
 
-        j_clip = jnp.broadcast_to(jnp.clip(j_idx, 0, l2max), (B, imax))
-        c2_d = jnp.take_along_axis(
-            jnp.broadcast_to(codes2, (B, l2max + 1)), j_clip, axis=1
-        )  # (B, imax) char of seq2 at j
-        ins2_d = ins_t[c2_d]
-        match_d = match_t[c1[:, :imax], c2_d]  # uses c1 at i (clipped: imax<=l1max+1)
-
         mm = prev2[:, 0]
         mx = prev2[:, 1]
         my = prev2[:, 2]
-        # M[i][j] from (i-1, j-1): same diagonal index i-1 on d-2
         m_in = _shift_right(mm, LOG_ZERO)
         x_in = _shift_right(mx, LOG_ZERO)
         y_in = _shift_right(my, LOG_ZERO)
         acc = m_in + trans[0, 0]
-        acc = log_add(acc, x_in + trans[1, 0])  # k=1 then k=2, same order as C++
+        acc = log_add(acc, x_in + trans[1, 0])  # k=1 then k=2, as in the C++
         acc = log_add(acc, y_in + trans[2, 0])
-        m_new = acc + match_d
+        m_new = acc + m_d
         m_ok = valid & not_init & (i_idx > 0) & (j_idx > 0)
         m_new = jnp.where(m_ok, m_new, LOG_ZERO)
 
-        # Ix[i][j] from (i-1, j): index i-1 on d-1
         pm = _shift_right(prev[:, 0], LOG_ZERO)
         px = _shift_right(prev[:, 1], LOG_ZERO)
-        x_new = ins_t[c1[:, :imax]] + log_add(pm + trans[0, 1], px + trans[1, 1])
+        x_new = ins1 + log_add(pm + trans[0, 1], px + trans[1, 1])
         x_ok = valid & not_init & (i_idx > 0)
         x_new = jnp.where(x_ok, x_new, LOG_ZERO)
 
-        # Iy[i][j] from (i, j-1): index i on d-1
-        y_new = ins2_d + log_add(prev[:, 0] + trans[0, 2], prev[:, 2] + trans[2, 2])
+        y_new = e2_d + log_add(prev[:, 0] + trans[0, 2], prev[:, 2] + trans[2, 2])
         y_ok = valid & not_init & (j_idx > 0)
         y_new = jnp.where(y_ok, y_new, LOG_ZERO)
 
         # init cells (ProbabilisticModel.h:122-131)
-        m_new = jnp.where(
-            (i_idx == 1) & (j_idx == 1),
-            init_log[0] + match_d,
-            m_new,
-        )
+        m_new = jnp.where((i_idx == 1) & (j_idx == 1), init_log[0] + m_d, m_new)
         x_new = jnp.where(
-            (i_idx == 1) & (j_idx == 0) & (1 <= len1b),
-            init_log[1] + ins_t[c1[:, :imax]],
-            x_new,
+            (i_idx == 1) & (j_idx == 0) & (1 <= len1b), init_log[1] + ins1, x_new
         )
         y_new = jnp.where(
-            (i_idx == 0) & (j_idx == 1) & (1 <= len2b),
-            init_log[2] + ins2_d,
-            y_new,
+            (i_idx == 0) & (j_idx == 1) & (1 <= len2b), init_log[2] + e2_d, y_new
         )
-        # re-mask validity for init cells (e.g. (1,1) when len is 0)
         m_new = jnp.where(valid & (i_idx > 0) & (j_idx > 0), m_new, LOG_ZERO)
 
         diag = jnp.stack([m_new, x_new, y_new], axis=1)  # (B, 3, imax)
@@ -148,32 +146,32 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
 
     zero = jnp.full((B, 3, imax), LOG_ZERO)
     (_, _), fdiags = jax.lax.scan(
-        fwd_step, (zero, zero), jnp.arange(ndiag), unroll=1
+        fwd_step, (zero, zero), (jnp.arange(ndiag), M_diag, E2_diag), unroll=2
     )
     # fdiags: (ndiag, B, 3, imax)
 
-    def bwd_step(carry, d):
+    # backward xs: match/ins at (i+1, j+1) for cell (i, j) on diag d come
+    # from diag d+2 shifted left; ins2 at j+1 from diag d+1
+    padM = jnp.zeros((2, B, imax), M_diag.dtype)
+    M_next2 = jnp.concatenate([M_diag[2:], padM], axis=0)  # [d] -> M_diag[d+2]
+    padE = jnp.zeros((1, B, imax), E2_diag.dtype)
+    E2_next = jnp.concatenate([E2_diag[1:], padE], axis=0)  # [d] -> E2_diag[d+1]
+
+    def bwd_step(carry, xs):
         nxt, nxt2 = carry  # diagonals d+1, d+2
+        d, m_n2, e2_n = xs
         j_idx = d - i_idx
         valid = (i_idx >= 0) & (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
 
-        # characters at i+1 and j+1
-        ip1 = jnp.clip(i_idx + 1, 0, l1max)
-        c1_n = jnp.take_along_axis(jnp.broadcast_to(codes1, (B, l1max + 1)), jnp.broadcast_to(ip1, (B, imax)), axis=1)
-        jp1 = jnp.clip(j_idx + 1, 0, l2max)
-        c2_n = jnp.take_along_axis(jnp.broadcast_to(codes2, (B, l2max + 1)), jnp.broadcast_to(jp1, (B, imax)), axis=1)
-        match_n = match_t[c1_n, c2_n]
-        ins1_n = ins_t[c1_n]
-        ins2_n = ins_t[c2_n]
+        match_n = _shift_left(m_n2, jnp.float32(0.0))  # match(c1[i+1], c2[j+1])
+        ins2_n = e2_n  # E2_diag[d+1][i] = ins(c2[(d+1)-i]) = ins(c2[j+1])
+        ins1_n = ins1_next  # ins(c1[i+1])
 
         has_m = (i_idx < len1b) & (j_idx < len2b) & valid
         has_x = (i_idx < len1b) & valid
         has_y = (j_idx < len2b) & valid
 
-        # neighbors: (i+1, j+1) -> index i+1 on d+2 ; (i+1, j) -> i+1 on d+1 ;
-        # (i, j+1) -> i on d+1
         bm_11 = _shift_left(nxt2[:, 0], LOG_ZERO)
-        bx_10 = _shift_left(nxt2[:, 1], LOG_ZERO)  # unused, kept for clarity
         bx_n = _shift_left(nxt[:, 1], LOG_ZERO)
         by_n = nxt[:, 2]
 
@@ -194,7 +192,6 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         bM = lpe(bM, by_n + ins2_n + trans[0, 2], has_y)
         bY = lpe(bY, by_n + ins2_n + trans[2, 2], has_y)
 
-        # init: cell (L1, L2) = initialDistribution (ProbabilisticModel.h:213-214)
         at_end = (i_idx == len1b) & (j_idx == len2b)
         bM = jnp.where(at_end, init_log[0], bM)
         bX = jnp.where(at_end, init_log[1], bX)
@@ -208,7 +205,10 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         return (diag, nxt), diag
 
     (_, _), bdiags_rev = jax.lax.scan(
-        bwd_step, (zero, zero), jnp.arange(ndiag - 1, -1, -1), unroll=1
+        bwd_step,
+        (zero, zero),
+        (jnp.arange(ndiag - 1, -1, -1), M_next2[::-1], E2_next[::-1]),
+        unroll=2,
     )
     bdiags = bdiags_rev[::-1]  # index by d again
 
@@ -239,10 +239,9 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     total = (total_f + total_b) / jnp.float32(2.0)
 
     # ---- posterior (ProbabilisticModel.h:374-403) ----
-    # gather diag-major M-state values into row-major (B, l1max+1, l2max+1)
     ii = jnp.arange(l1max + 1)[:, None]
     jj = jnp.arange(l2max + 1)[None, :]
-    dsel = ii + jj  # (l1max+1, l2max+1)
+    dsel = ii + jj
     fm = fdiags[:, :, 0, :]  # (ndiag, B, imax)
     bm = bdiags[:, :, 0, :]
     f_cells = fm[dsel, :, ii]  # (l1max+1, l2max+1, B)
