@@ -241,3 +241,101 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
     y = np.asarray(y)[:L2].astype(np.int64)
     z = np.asarray(z)[:L1].astype(np.int64)
     return float(s), x, y, z
+
+
+def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
+    """DD merge solve with IPknot (host ILP) as the structure decoder.
+
+    With --ipknot the reference uses the IPknot decoder *inside* the DD loop
+    (s_decoder_, src/dafs.cpp:1754,1091-1092).  ILPs run on host; the NW
+    alignment decode stays on device; multiplier updates are vectorized
+    numpy mirrors of the sparse C++ updates.
+    """
+    import jax.numpy as jnp
+
+    from dafs_tpu.decoders_ip import ipknot
+    from dafs_tpu.ops import nussinov as _  # noqa: F401 (parity of imports)
+
+    f = np.float32
+    L1, L2 = p_z.shape
+    min_th_s = min(th_s)
+    cbp = enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a)
+    env = nw.envelope(p_z, th_a)
+    in_cx = np.zeros((L1, L1), bool)
+    in_cy = np.zeros((L2, L2), bool)
+    in_cz = np.zeros((L1, L2), bool)
+    if len(cbp):
+        in_cx[cbp[:, 0], cbp[:, 1]] = True
+        in_cy[cbp[:, 2], cbp[:, 3]] = True
+        in_cz[cbp[:, 0], cbp[:, 2]] = True
+        in_cz[cbp[:, 1], cbp[:, 3]] = True
+
+    q_x = np.zeros((L1, L1), np.float32)
+    q_y = np.zeros((L2, L2), np.float32)
+    q_z = np.zeros((L1, L2), np.float32)
+    w_x = f(f(w) * 2 * n1 / (n1 + n2))
+    w_y = f(f(w) * 2 * n2 / (n1 + n2))
+    eta = f(eta0)
+    c = f(0.0)
+    s_prev = f(0.0)
+    x = np.full(L1, -1, np.int64)
+    y = np.full(L2, -1, np.int64)
+    z = np.full(L1, -1, np.int64)
+    violated = 0
+    envf = jnp.asarray(env[:, 0].astype(np.int32))
+    envl = jnp.asarray(env[:, 1].astype(np.int32))
+
+    for t in range(t_max):
+        x, _str1, s1 = ipknot.decode(p_x, th_s, w=w_x, q=q_x)
+        y, _str2, s2 = ipknot.decode(p_y, th_s, w=w_y, q=q_y)
+        sm_z = np.float32(p_z - f(th_a) + q_z)
+        s3, z_j = nw.decode(jnp.asarray(sm_z), envf, envl, L1=L1, L2=L2)
+        z = np.asarray(z_j).astype(np.int64)
+        s = f(f(s1) + f(s2) + float(s3))
+
+        t_x = np.zeros((L1, L1), np.int64)
+        t_y = np.zeros((L2, L2), np.int64)
+        t_z = np.zeros((L1, L2), np.int64)
+        if len(cbp):
+            s_w = np.float32(
+                q_x[cbp[:, 0], cbp[:, 1]] + q_y[cbp[:, 2], cbp[:, 3]]
+                - q_z[cbp[:, 0], cbp[:, 2]] - q_z[cbp[:, 1], cbp[:, 3]]
+            )
+            act = s_w > 0.0
+            s = f(s + np.sum(s_w[act], dtype=np.float32))
+            np.add.at(t_x, (cbp[act, 0], cbp[act, 1]), 1)
+            np.add.at(t_y, (cbp[act, 2], cbp[act, 3]), 1)
+            np.add.at(t_z, (cbp[act, 0], cbp[act, 2]), 1)
+            np.add.at(t_z, (cbp[act, 1], cbp[act, 3]), 1)
+
+        X = np.zeros((L1, L1), np.int64)
+        X[np.arange(L1)[x >= 0], x[x >= 0]] = 1
+        Y = np.zeros((L2, L2), np.int64)
+        Y[np.arange(L2)[y >= 0], y[y >= 0]] = 1
+        Z = np.zeros((L1, L2), np.int64)
+        Z[np.arange(L1)[z >= 0], z[z >= 0]] = 1
+
+        dx = t_x - X
+        ux = ((X > 0) | in_cx) & (dx != 0)
+        q_x = np.where(ux, np.float32(q_x - eta * dx.astype(np.float32)), q_x)
+        dy = t_y - Y
+        uy = ((Y > 0) | in_cy) & (dy != 0)
+        q_y = np.where(uy, np.float32(q_y - eta * dy.astype(np.float32)), q_y)
+        dz = Z - t_z
+        mz = (Z > 0) | in_cz
+        q_z = np.where(
+            mz, np.maximum(np.float32(0.0), np.float32(q_z - eta * dz.astype(np.float32))), q_z
+        )
+        vz = ((Z > 0) & (t_z > 1)) | ((Z == 0) & in_cz & (t_z > 0))
+        violated = int(ux.sum() + uy.sum() + vz.sum())
+
+        if violated == 0:
+            break
+        if s > s_prev or t == 0:
+            denom = 4.0 * max(len(cbp), 1)
+            c = f(c + max(0.0, f(4.0 * len(cbp)) - violated) / denom)
+            eta = f(eta0 / (1.0 + c))
+        s_prev = s
+
+    logger.info("Step: %s, Violated: %d", "ipknot-dd", violated)
+    return float(s_prev), x, y, z

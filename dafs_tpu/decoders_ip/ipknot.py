@@ -47,7 +47,7 @@ def decode(p: np.ndarray, th, w=None, q=None):
     vars_, wts = _variables(p, th, w, q)
     nv = len(vars_)
     if nv == 0:
-        return np.full(L, -1, dtype=np.int64), "." * L
+        return np.full(L, -1, dtype=np.int64), "." * L, 0.0
 
     by_level: list[list[tuple[int, int, int]]] = [[] for _ in range(P)]
     for k, (lv, i, j) in enumerate(vars_):
@@ -131,8 +131,9 @@ def decode(p: np.ndarray, th, w=None, q=None):
         bounds=(0, 1),
     )
     if res.x is None:
-        return np.full(L, -1, dtype=np.int64), "." * L
+        return np.full(L, -1, dtype=np.int64), "." * L, 0.0
     sol = res.x > 0.5
+    score = float(np.dot(np.array(wts), sol.astype(np.float64)))
 
     ss = np.full(L, -1, dtype=np.int64)
     plevel = np.full(L, -1, dtype=np.int64)
@@ -147,4 +148,4 @@ def decode(p: np.ndarray, th, w=None, q=None):
         if j >= 0 and i < j and plevel[i] < len(LEFT):
             s[i] = LEFT[plevel[i]]
             s[j] = RIGHT[plevel[i]]
-    return ss, "".join(s)
+    return ss, "".join(s), score

@@ -58,7 +58,8 @@ class Dafs:
         if self.o.fold_decoder == "IPknot":
             from dafs_tpu.decoders_ip import ipknot
 
-            return ipknot.decode(p, th_list)
+            ss, sstr, _ = ipknot.decode(p, th_list)
+            return ss, sstr
         import jax.numpy as jnp
 
         from dafs_tpu.ops import nussinov
@@ -140,7 +141,12 @@ class Dafs:
             p_y = self._update_bp(p_y, ss0, str0, aln2, self.o.use_alifold)
         p_z = projection.average_matching_probability(self.mp, aln1, aln2)
 
-        s, x, y, z = dd.solve_by_dd(
+        solver = (
+            dd.solve_by_dd_ipknot
+            if self.o.fold_decoder == "IPknot"
+            else dd.solve_by_dd
+        )
+        s, x, y, z = solver(
             p_x, p_y, p_z, len(aln1), len(aln2),
             w=self.o.w, th_s=list(self.o.th_s), th_a=self.o.th_a,
             eta0=self.o.eta0, t_max=self.o.t_max,
