@@ -339,3 +339,150 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
 
     logger.info("Step: %s, Violated: %d", "ipknot-dd", violated)
     return float(s_prev), x, y, z
+
+
+def solve_by_ip(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0=None, t_max=None):
+    """Exact joint ILP (DAFS::solve_by_ip, src/dafs.cpp:1297-1497), reached
+    with -m 0.  Variables x_ij, y_kl, z_ik, w_ijkl; constraints: at most one
+    partner per base, no pseudoknots, no crossing matches, consensus coupling.
+    Solved with scipy's HiGHS milp."""
+    from scipy import sparse as sp
+    from scipy.optimize import LinearConstraint, milp
+
+    f = np.float32
+    L1, L2 = p_z.shape
+    min_th_s = f(min(th_s))
+
+    zi, zk = np.nonzero(p_z > CUTOFF)
+    v_z = {(i, k): t for t, (i, k) in enumerate(zip(zi, zk))}
+    obj = [float(f(p_z[i, k] - f(th_a))) for (i, k) in v_z]
+
+    cbp = enumerate_cbp(p_x, p_y, p_z, n1, n2, w, float(min_th_s), th_a, for_ip=True)
+    v_x: dict = {}
+    v_y: dict = {}
+    v_w = []
+    nv = len(v_z)
+    for (i, j, k, l) in cbp:
+        v_w.append((nv, (i, j, k, l)))
+        obj.append(0.0)
+        nv += 1
+        if (i, j) not in v_x:
+            v_x[(i, j)] = nv
+            obj.append(float(f(f(w) * (p_x[i, j] - min_th_s))))
+            nv += 1
+        if (k, l) not in v_y:
+            v_y[(k, l)] = nv
+            obj.append(float(f(f(w) * (p_y[k, l] - min_th_s))))
+            nv += 1
+
+    rows, lbs, ubs = [], [], []
+
+    def add(coeffs, lo, hi):
+        rows.append(coeffs)
+        lbs.append(lo)
+        ubs.append(hi)
+
+    # each base pairs at most once (x)
+    for i in range(L1):
+        cs = [(v, 1.0) for (a, b), v in v_x.items() if a == i or b == i]
+        if cs:
+            add(cs, -np.inf, 1.0)
+    # no pseudoknots in x
+    xk = sorted(v_x)
+    for ai in range(len(xk)):
+        i, j = xk[ai]
+        for bi in range(len(xk)):
+            k, l = xk[bi]
+            if i < k < j < l:
+                add([(v_x[(i, j)], 1.0), (v_x[(k, l)], 1.0)], -np.inf, 1.0)
+    # same for y
+    for k in range(L2):
+        cs = [(v, 1.0) for (a, b), v in v_y.items() if a == k or b == k]
+        if cs:
+            add(cs, -np.inf, 1.0)
+    yk2 = sorted(v_y)
+    for ai in range(len(yk2)):
+        i, j = yk2[ai]
+        for bi in range(len(yk2)):
+            k, l = yk2[bi]
+            if i < k < j < l:
+                add([(v_y[(i, j)], 1.0), (v_y[(k, l)], 1.0)], -np.inf, 1.0)
+    # each base aligns at most once
+    for i in range(L1):
+        cs = [(v, 1.0) for (a, b), v in v_z.items() if a == i]
+        if cs:
+            add(cs, -np.inf, 1.0)
+    for k in range(L2):
+        cs = [(v, 1.0) for (a, b), v in v_z.items() if b == k]
+        if cs:
+            add(cs, -np.inf, 1.0)
+    # no crossing matches
+    zk2 = sorted(v_z)
+    for (i, k) in zk2:
+        for (j, l) in zk2:
+            if j > i and l < k:
+                add([(v_z[(i, k)], 1.0), (v_z[(j, l)], 1.0)], -np.inf, 1.0)
+    # consensus coupling: x_ij = sum w over cbp with that (i,j); same for y;
+    # z_ik >= sum w touching it
+    from collections import defaultdict
+
+    by_x = defaultdict(list)
+    by_y = defaultdict(list)
+    by_z = defaultdict(list)
+    for (vw, (i, j, k, l)) in v_w:
+        by_x[(i, j)].append(vw)
+        by_y[(k, l)].append(vw)
+        by_z[(i, k)].append(vw)
+        by_z[(j, l)].append(vw)
+    for (ij, ws) in by_x.items():
+        add([(v_x[ij], 1.0)] + [(vw, -1.0) for vw in ws], 0.0, 0.0)
+    for (kl, ws) in by_y.items():
+        add([(v_y[kl], 1.0)] + [(vw, -1.0) for vw in ws], 0.0, 0.0)
+    for (ik, ws) in by_z.items():
+        if ik in v_z:
+            add([(v_z[ik], 1.0)] + [(vw, -1.0) for vw in ws], 0.0, np.inf)
+    # x/y pairs not touched by any cbp are fixed 0 by the reference's FX rows
+    for ij, v in v_x.items():
+        if ij not in by_x:
+            add([(v, 1.0)], 0.0, 0.0)
+    for kl, v in v_y.items():
+        if kl not in by_y:
+            add([(v, 1.0)], 0.0, 0.0)
+
+    if nv == 0:
+        return (
+            0.0,
+            np.full(L1, -1, np.int64),
+            np.full(L2, -1, np.int64),
+            np.full(L1, -1, np.int64),
+        )
+
+    data, ri, ci = [], [], []
+    for r, coeffs in enumerate(rows):
+        for v, c in coeffs:
+            ri.append(r)
+            ci.append(v)
+            data.append(c)
+    A = sp.csr_matrix((data, (ri, ci)), shape=(len(rows), nv))
+    res = milp(
+        c=-np.array(obj),
+        constraints=LinearConstraint(A, np.array(lbs), np.array(ubs)),
+        integrality=np.ones(nv),
+        bounds=(0, 1),
+    )
+    sol = res.x > 0.5 if res.x is not None else np.zeros(nv, bool)
+
+    x = np.full(L1, -1, np.int64)
+    for (i, j), v in v_x.items():
+        if sol[v]:
+            x[i] = j
+    y = np.full(L2, -1, np.int64)
+    for (k, l), v in v_y.items():
+        if sol[v]:
+            y[k] = l
+    z = np.full(L1, -1, np.int64)
+    for (i, k), v in v_z.items():
+        if sol[v]:
+            z[i] = k
+    s = float(np.dot(np.array(obj), sol.astype(np.float64)))
+    return s, x, y, z

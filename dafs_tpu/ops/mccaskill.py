@@ -512,6 +512,136 @@ def _inside_outside(
     return pout, Q
 
 
+_VMAPPED: dict = {}
+
+
+def _batched_inside_outside(L):
+    """vmap of the single-sequence kernel over the leading batch axis."""
+    if L not in _VMAPPED:
+        def call(S, ptype_mat, allow_pair, allow_unpaired, tri_code, tetra_code,
+                 hexa_code, n, sc, tab):
+            return _inside_outside(
+                S=S, ptype_mat=ptype_mat, allow_pair=allow_pair,
+                allow_unpaired=allow_unpaired, tri_code=tri_code,
+                tetra_code=tetra_code, hexa_code=hexa_code, n=n, sc=sc,
+                **tab, L=L,
+            )
+
+        _VMAPPED[L] = jax.jit(
+            jax.vmap(call, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+        )
+    return _VMAPPED[L]
+
+
+def _prepare(seq: str, L: int, constraint: str | None):
+    n = len(seq)
+    s = np.zeros(L + 2, dtype=np.int32)
+    s[1 : n + 1] = ep.encode_rna(seq)
+    pt = ep.BP_PAIR[s[:, None], s[None, :]].astype(np.int32)
+    allow_pair = pt > 0
+    allow_unpaired = np.ones(L + 2, dtype=bool)
+    ii = np.arange(L + 2)
+    allow_pair &= (ii[None, :] - ii[:, None]) > TURN
+    allow_pair &= (ii[:, None] >= 1) & (ii[None, :] <= n)
+    if constraint is not None:
+        assert len(constraint) == n
+        stack = []
+        forced = []
+        for k, ch in enumerate(constraint):
+            pos = k + 1
+            if ch == "x":
+                allow_pair[pos, :] = False
+                allow_pair[:, pos] = False
+            elif ch == "(":
+                stack.append(pos)
+            elif ch == ")":
+                forced.append((stack.pop(), pos))
+        for (a, b) in forced:
+            keep = allow_pair[a, b]
+            allow_pair[a, :] = False
+            allow_pair[:, a] = False
+            allow_pair[b, :] = False
+            allow_pair[:, b] = False
+            allow_pair[a, b] = keep
+    return s, pt, allow_pair, allow_unpaired
+
+
+def batch_bp_posteriors(seqs, th, bl=True, constraints=None):
+    """BP posteriors for a batch of sequences, vmapped per length bucket."""
+    t = _tables(bl)
+    f32 = np.float32
+    tab = _jax_tables(t)
+    out: list = [None] * len(seqs)
+    buckets: dict[int, list[int]] = {}
+    for i, s in enumerate(seqs):
+        buckets.setdefault(_round_up(len(s), 32), []).append(i)
+    for L, idxs in buckets.items():
+        B = len(idxs)
+        S = np.zeros((B, L + 2), np.int32)
+        PT = np.zeros((B, L + 2, L + 2), np.int32)
+        AP = np.zeros((B, L + 2, L + 2), bool)
+        AU = np.zeros((B, L + 2), bool)
+        TRI = np.zeros((B, L + 2), np.int32)
+        TET = np.zeros((B, L + 2), np.int32)
+        HEX = np.zeros((B, L + 2), np.int32)
+        ns = np.zeros(B, np.int32)
+        for bi, i in enumerate(idxs):
+            c = constraints[i] if constraints is not None else None
+            s_, pt_, ap_, au_ = _prepare(seqs[i], L, c)
+            S[bi], PT[bi], AP[bi], AU[bi] = s_, pt_, ap_, au_
+            TRI[bi] = _kmer_codes(s_, 5, L)
+            TET[bi] = _kmer_codes(s_, 6, L)
+            HEX[bi] = _kmer_codes(s_, 8, L)
+            ns[bi] = len(seqs[i])
+        fn = _batched_inside_outside(L)
+        sc = np.full(B, np.exp(-0.6), np.float32)
+        for _ in range(16):
+            pout, Q = fn(
+                jnp.asarray(S), jnp.asarray(PT), jnp.asarray(AP), jnp.asarray(AU),
+                jnp.asarray(TRI), jnp.asarray(TET), jnp.asarray(HEX),
+                jnp.asarray(ns), jnp.asarray(sc), tab,
+            )
+            Qv = np.asarray(Q)
+            pm = np.asarray(pout)
+            good = (
+                np.isfinite(Qv) & (Qv > 1e-25) & (Qv < 1e25)
+                & np.isfinite(pm).all(axis=(1, 2))
+            )
+            if good.all():
+                break
+            over = ~np.isfinite(Qv) | (Qv >= 1e25)
+            sc = np.where(good, sc, np.where(over, f32(sc * 0.8), f32(sc * 1.25)))
+        else:
+            raise FloatingPointError("mccaskill: batch did not stabilize")
+        for bi, i in enumerate(idxs):
+            n = len(seqs[i])
+            p = pm[bi, 1 : n + 1, 1 : n + 1].astype(np.float32).copy()
+            p[p <= th] = 0.0
+            np.clip(p, 0.0, 1.0, out=p)
+            out[i] = p
+    return out
+
+
+def _jax_tables(t):
+    f32 = np.float32
+    tab = {
+        "t_stack": t["stack"], "t_hairpin": t["hairpin"], "t_bulge": t["bulge"],
+        "t_internal": t["internal"], "t_mmH": t["mismatchH"], "t_mmI": t["mismatchI"],
+        "t_mm1n": t["mismatch1nI"], "t_mm23": t["mismatch23I"],
+        "t_mmExt": t["mismatchExt"], "t_mmM": t["mismatchM"],
+        "t_d5": t["dangle5"], "t_d3": t["dangle3"],
+        "t_i11": t["int11"], "t_i21": t["int21"], "t_i22": t["int22"],
+        "t_mlb": f32(t["ml_base"]), "t_mlc": f32(t["ml_closing"]),
+        "t_mli": f32(t["ml_intern"]), "t_tau": f32(t["terminal_au"]),
+        "t_ninio": t["ninio"],
+        "t_lxc_hp": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_lxc_int": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_lxc_bulge": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_tetra": t["tetraloop"], "t_tri": t["triloop"], "t_hexa": t["hexaloop"],
+    }
+    return {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in tab.items()}
+
+
 def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = None):
     """Dense (L, L) upper-triangular base-pair probability matrix, entries
     kept strictly greater than th (src/fold.cpp:108-114)."""
@@ -606,11 +736,3 @@ def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = 
     pm[pm <= th] = 0.0
     np.clip(pm, 0.0, 1.0, out=pm)
     return pm
-
-
-def batch_bp_posteriors(seqs, th, bl=True, constraints=None):
-    out = []
-    for i, s in enumerate(seqs):
-        c = constraints[i] if constraints is not None else None
-        out.append(bp_posterior(s, th, bl=bl, constraint=c))
-    return out

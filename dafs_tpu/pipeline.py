@@ -141,11 +141,13 @@ class Dafs:
             p_y = self._update_bp(p_y, ss0, str0, aln2, self.o.use_alifold)
         p_z = projection.average_matching_probability(self.mp, aln1, aln2)
 
-        solver = (
-            dd.solve_by_dd_ipknot
-            if self.o.fold_decoder == "IPknot"
-            else dd.solve_by_dd
-        )
+        if self.o.t_max == 0:
+            # -m 0: exact joint ILP (src/dafs.cpp:110-115)
+            solver = dd.solve_by_ip
+        elif self.o.fold_decoder == "IPknot":
+            solver = dd.solve_by_dd_ipknot
+        else:
+            solver = dd.solve_by_dd
         s, x, y, z = solver(
             p_x, p_y, p_z, len(aln1), len(aln2),
             w=self.o.w, th_s=list(self.o.th_s), th_a=self.o.th_a,
