@@ -243,13 +243,16 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
     return float(s), x, y, z
 
 
-def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
-    """DD merge solve with IPknot (host ILP) as the structure decoder.
+def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
+                       structure_decoder="ipknot", verbose_cb=None):
+    """Host-loop DD merge solve with a pluggable structure decoder.
 
-    With --ipknot the reference uses the IPknot decoder *inside* the DD loop
-    (s_decoder_, src/dafs.cpp:1754,1091-1092).  ILPs run on host; the NW
-    alignment decode stays on device; multiplier updates are vectorized
-    numpy mirrors of the sparse C++ updates.
+    structure_decoder="ipknot": the reference's --ipknot mode uses the
+    IPknot ILP *inside* the DD loop (s_decoder_, src/dafs.cpp:1754,
+    1091-1092); ILPs run on host, the NW decode stays on device.
+    structure_decoder="nussinov": native C++ SparseNussinov decodes — used
+    for the -v 2 verbose mode, where verbose_cb(x, y, z) is invoked each
+    iteration (output_verbose, src/dafs.cpp:875-894).
     """
     import jax.numpy as jnp
 
@@ -286,11 +289,21 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
     envl = jnp.asarray(env[:, 1].astype(np.int32))
 
     for t in range(t_max):
-        x, _str1, s1 = ipknot.decode(p_x, th_s, w=w_x, q=q_x)
-        y, _str2, s2 = ipknot.decode(p_y, th_s, w=w_y, q=q_y)
+        if structure_decoder == "ipknot":
+            x, _str1, s1 = ipknot.decode(p_x, th_s, w=w_x, q=q_x)
+            y, _str2, s2 = ipknot.decode(p_y, th_s, w=w_y, q=q_y)
+        else:
+            from dafs_tpu import native
+
+            sm_x = np.float32(w_x * (p_x - f(th_s[0])) - q_x)
+            s1, x = native.sparse_nussinov(sm_x)
+            sm_y = np.float32(w_y * (p_y - f(th_s[0])) - q_y)
+            s2, y = native.sparse_nussinov(sm_y)
         sm_z = np.float32(p_z - f(th_a) + q_z)
         s3, z_j = nw.decode(jnp.asarray(sm_z), envf, envl, L1=L1, L2=L2)
         z = np.asarray(z_j).astype(np.int64)
+        if verbose_cb is not None:
+            verbose_cb(x, y, z)
         s = f(f(s1) + f(s2) + float(s3))
 
         t_x = np.zeros((L1, L1), np.int64)

@@ -102,15 +102,14 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     ins1_next = _shift_left(ins1, jnp.float32(0.0))  # char at i+1
 
     def fwd_step(carry, xs):
-        prev, prev2 = carry  # each (B, 3, imax): diagonals d-1, d-2
+        # state planes kept as separate (B, imax) arrays: a (B, 3, imax)
+        # stack wastes ~62% of TPU sublanes on the size-3 middle dim
+        (pm0, px0, py0, mm, mx, my) = carry  # diag d-1 then d-2
         d, m_d, e2_d = xs
         j_idx = d - i_idx  # (1, imax)
         valid = (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
         not_init = (i_idx > 1) | (j_idx > 1)
 
-        mm = prev2[:, 0]
-        mx = prev2[:, 1]
-        my = prev2[:, 2]
         m_in = _shift_right(mm, LOG_ZERO)
         x_in = _shift_right(mx, LOG_ZERO)
         y_in = _shift_right(my, LOG_ZERO)
@@ -121,13 +120,13 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         m_ok = valid & not_init & (i_idx > 0) & (j_idx > 0)
         m_new = jnp.where(m_ok, m_new, LOG_ZERO)
 
-        pm = _shift_right(prev[:, 0], LOG_ZERO)
-        px = _shift_right(prev[:, 1], LOG_ZERO)
+        pm = _shift_right(pm0, LOG_ZERO)
+        px = _shift_right(px0, LOG_ZERO)
         x_new = ins1 + log_add(pm + trans[0, 1], px + trans[1, 1])
         x_ok = valid & not_init & (i_idx > 0)
         x_new = jnp.where(x_ok, x_new, LOG_ZERO)
 
-        y_new = e2_d + log_add(prev[:, 0] + trans[0, 2], prev[:, 2] + trans[2, 2])
+        y_new = e2_d + log_add(pm0 + trans[0, 2], py0 + trans[2, 2])
         y_ok = valid & not_init & (j_idx > 0)
         y_new = jnp.where(y_ok, y_new, LOG_ZERO)
 
@@ -141,14 +140,16 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         )
         m_new = jnp.where(valid & (i_idx > 0) & (j_idx > 0), m_new, LOG_ZERO)
 
-        diag = jnp.stack([m_new, x_new, y_new], axis=1)  # (B, 3, imax)
-        return (diag, prev), diag
+        return (
+            (m_new, x_new, y_new, pm0, px0, py0),
+            (m_new, x_new, y_new),
+        )
 
-    zero = jnp.full((B, 3, imax), LOG_ZERO)
-    (_, _), fdiags = jax.lax.scan(
-        fwd_step, (zero, zero), (jnp.arange(ndiag), M_diag, E2_diag), unroll=2
-    )
-    # fdiags: (ndiag, B, 3, imax)
+    zero2 = jnp.full((B, imax), LOG_ZERO)
+    (_, (fm_d, fx_d, fy_d)) = jax.lax.scan(
+        fwd_step, (zero2,) * 6, (jnp.arange(ndiag), M_diag, E2_diag), unroll=2
+    )[0:2]
+    fdiags = jnp.stack([fm_d, fx_d, fy_d], axis=2)  # (ndiag, B, 3, imax)
 
     # backward xs: match/ins at (i+1, j+1) for cell (i, j) on diag d come
     # from diag d+2 shifted left; ins2 at j+1 from diag d+1
@@ -158,7 +159,7 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     E2_next = jnp.concatenate([E2_diag[1:], padE], axis=0)  # [d] -> E2_diag[d+1]
 
     def bwd_step(carry, xs):
-        nxt, nxt2 = carry  # diagonals d+1, d+2
+        (nm0, nx0, ny0, nm2, nx2, ny2) = carry  # diag d+1 then d+2
         d, m_n2, e2_n = xs
         j_idx = d - i_idx
         valid = (i_idx >= 0) & (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
@@ -171,9 +172,9 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         has_x = (i_idx < len1b) & valid
         has_y = (j_idx < len2b) & valid
 
-        bm_11 = _shift_left(nxt2[:, 0], LOG_ZERO)
-        bx_n = _shift_left(nxt[:, 1], LOG_ZERO)
-        by_n = nxt[:, 2]
+        bm_11 = _shift_left(nm2, LOG_ZERO)
+        bx_n = _shift_left(nx0, LOG_ZERO)
+        by_n = ny0
 
         prob_xy = bm_11 + match_n
 
@@ -201,16 +202,18 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         bX = jnp.where(valid, bX, LOG_ZERO)
         bY = jnp.where(valid, bY, LOG_ZERO)
 
-        diag = jnp.stack([bM, bX, bY], axis=1)
-        return (diag, nxt), diag
+        return (
+            (bM, bX, bY, nm0, nx0, ny0),
+            (bM, bX, bY),
+        )
 
-    (_, _), bdiags_rev = jax.lax.scan(
+    (_, (bm_d, bx_d, by_d)) = jax.lax.scan(
         bwd_step,
-        (zero, zero),
+        (zero2,) * 6,
         (jnp.arange(ndiag - 1, -1, -1), M_next2[::-1], E2_next[::-1]),
         unroll=2,
-    )
-    bdiags = bdiags_rev[::-1]  # index by d again
+    )[0:2]
+    bdiags = jnp.stack([bm_d, bx_d, by_d], axis=2)[::-1]  # index by d again
 
     # ---- total probability (ProbabilisticModel.h:337-365) ----
     def diag_cell(diags, i, j):

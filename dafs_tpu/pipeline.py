@@ -9,6 +9,7 @@ loop, final structure decode) run on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import io
 
 import numpy as np
@@ -127,6 +128,31 @@ class Dafs:
         out[out <= CUTOFF] = 0.0
         return out
 
+    def _output_verbose(self, x, y, z, aln1, aln2):
+        """Per-DD-iteration dump (output_verbose, src/dafs.cpp:875-894)."""
+        import sys
+
+        aln = projection.project_alignment(aln1, aln2, z)
+        xx, yy = projection.project_secondary_structure(x, y, z)
+
+        def brackets(ss):
+            s = ["."] * len(ss)
+            for i in range(len(ss)):
+                if ss[i] >= 0:
+                    s[i] = "("
+                    s[ss[i]] = ")"
+            return "".join(s)
+
+        out = sys.stdout
+        for row in aln[: len(aln1)]:
+            out.write("> " + self.fa[row.seq_id].name + "\n")
+            out.write(gapped_seq(self.fa[row.seq_id].seq, row.mask) + "\n")
+        out.write(brackets(xx) + "\n")
+        for row in aln[len(aln1):]:
+            out.write("> " + self.fa[row.seq_id].name + "\n")
+            out.write(gapped_seq(self.fa[row.seq_id].seq, row.mask) + "\n")
+        out.write(brackets(yy) + "\n\n")
+
     # -- merge ------------------------------------------------------------
 
     def _align_alignments(self, aln1, aln2):
@@ -145,7 +171,23 @@ class Dafs:
             # -m 0: exact joint ILP (src/dafs.cpp:110-115)
             solver = dd.solve_by_ip
         elif self.o.fold_decoder == "IPknot":
-            solver = dd.solve_by_dd_ipknot
+            solver = functools.partial(
+                dd.solve_by_dd_ipknot,
+                verbose_cb=(
+                    functools.partial(self._output_verbose, aln1=aln1, aln2=aln2)
+                    if self.o.verbose >= 2
+                    else None
+                ),
+            )
+        elif self.o.verbose >= 2:
+            # -v 2: host loop with per-iteration dumps (src/dafs.cpp:875-894)
+            solver = functools.partial(
+                dd.solve_by_dd_ipknot,
+                structure_decoder="nussinov",
+                verbose_cb=functools.partial(
+                    self._output_verbose, aln1=aln1, aln2=aln2
+                ),
+            )
         else:
             solver = dd.solve_by_dd
         s, x, y, z = solver(
