@@ -566,8 +566,19 @@ def _prepare(seq: str, L: int, constraint: str | None):
     return s, pt, allow_pair, allow_unpaired
 
 
-def batch_bp_posteriors(seqs, th, bl=True, constraints=None):
-    """BP posteriors for a batch of sequences, vmapped per length bucket."""
+def batch_bp_posteriors(seqs, th, bl=True, constraints=None, fast=True):
+    """BP posteriors for a batch of sequences.
+
+    fast=True uses the gather-free kernel (ops/mccaskill_kernel.py) serially
+    per sequence; fast=False uses the straightforward kernel vmapped per
+    length bucket (kept as a cross-validation reference).
+    """
+    if fast:
+        out = []
+        for i, s in enumerate(seqs):
+            c = constraints[i] if constraints is not None else None
+            out.append(bp_posterior_fast(s, th, bl=bl, constraint=c))
+        return out
     t = _tables(bl)
     f32 = np.float32
     tab = _jax_tables(t)
@@ -732,6 +743,103 @@ def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = 
         raise FloatingPointError(
             f"mccaskill: partition function did not stabilize (L={n})"
         )
+    pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
+    pm[pm <= th] = 0.0
+    np.clip(pm, 0.0, 1.0, out=pm)
+    return pm
+
+
+# ---------------------------------------------------------------------------
+# fast (gather-free) kernel wiring — see ops/mccaskill_kernel.py
+# ---------------------------------------------------------------------------
+
+_FAST_TABLES: dict = {}
+
+
+def _fast_tabs(bl: bool):
+    if bl not in _FAST_TABLES:
+        t = _tables(bl)
+        f32 = np.float32
+        lxc = f32(np.exp(-t["lxc"] * 10.0 / t["kt"]))
+        tabs = {
+            "stack": t["stack"], "hairpin": t["hairpin"], "bulge": t["bulge"],
+            "mmH": t["mismatchH"], "mmI": t["mismatchI"],
+            "mm1n": t["mismatch1nI"], "mm23": t["mismatch23I"],
+            "mmExt": t["mismatchExt"], "d5": t["dangle5"], "d3": t["dangle3"],
+            "mmM": t["mismatchM"],
+            "i11": t["int11"], "i21": t["int21"], "i22": t["int22"],
+            "mlb": f32(t["ml_base"]), "mlc": f32(t["ml_closing"]),
+            "mli": f32(t["ml_intern"]), "tau": f32(t["terminal_au"]),
+            "lxc": lxc,
+            "tetra": t["tetraloop"], "tri": t["triloop"], "hexa": t["hexaloop"],
+        }
+        tabs = {k: (jnp.asarray(np.asarray(v, np.float32)) if not np.isscalar(v) else jnp.float32(v)) for k, v in tabs.items()}
+        # static per-(u, s) stencil constants (s = u + v)
+        SW = MAXLOOP + 1
+        uu = np.arange(SW).astype(np.float64)
+        u_g = uu[:, None] + np.zeros((1, SW))
+        s_g = np.zeros((SW, 1)) + uu[None, :]
+        v_g = s_g - u_g
+        valid_uv = (v_g >= 0) & (s_g <= MAXLOOP)
+        internal = np.asarray(t["internal"], np.float64)
+        bulge_np = np.asarray(t["bulge"], np.float64)
+        ninio = np.asarray(t["ninio"], np.float64)
+        si_ = np.clip(s_g.astype(int), 0, MAXLOOP)
+        asym = np.clip(np.abs(u_g - v_g).astype(int), 0, MAXLOOP)
+        nl_uv = np.maximum(u_g, v_g).astype(int)
+        special = (
+            ((u_g == 0) & (v_g == 0))
+            | ((u_g == 0) & (v_g == 1)) | ((u_g == 1) & (v_g == 0))
+            | ((u_g == 1) & (v_g == 1))
+            | ((u_g == 1) & (v_g == 2)) | ((u_g == 2) & (v_g == 1))
+            | ((u_g == 2) & (v_g == 2))
+        )
+        mask_1n = valid_uv & (((u_g == 1) & (v_g >= 3)) | ((v_g == 1) & (u_g >= 3)))
+        mask_23 = valid_uv & (((u_g == 2) & (v_g == 3)) | ((u_g == 3) & (v_g == 2)))
+        mask_bul = valid_uv & (((u_g == 0) & (v_g >= 2)) | ((v_g == 0) & (u_g >= 2)))
+        mask_gen = valid_uv & (u_g >= 1) & (v_g >= 1) & ~special & ~mask_1n & ~mask_23
+        tabs["C_gen"] = jnp.asarray(np.where(mask_gen, internal[si_] * ninio[asym], 0.0), jnp.float32)
+        tabs["C_1n"] = jnp.asarray(
+            np.where(mask_1n, internal[np.clip(nl_uv + 1, 0, MAXLOOP)] * ninio[np.clip(nl_uv - 1, 0, MAXLOOP)], 0.0),
+            jnp.float32,
+        )
+        tabs["C_23"] = jnp.asarray(np.where(mask_23, internal[5] * ninio[1], 0.0), jnp.float32)
+        tabs["C_tau"] = jnp.asarray(np.where(mask_bul, bulge_np[np.clip(nl_uv, 0, MAXLOOP)], 0.0), jnp.float32)
+        _FAST_TABLES[bl] = tabs
+    return _FAST_TABLES[bl]
+
+
+def bp_posterior_fast(seq: str, th: float, bl: bool = True, constraint=None):
+    """Gather-free kernel path; numerically equivalent to bp_posterior."""
+    from dafs_tpu.ops import mccaskill_kernel as MK
+
+    base = _fast_tabs(bl)
+    n = len(seq)
+    L = _round_up(n, 32)
+    s, pt, allow_pair, allow_unpaired = _prepare(seq, L, constraint)
+    tabs = dict(base)
+    tabs["tri_code"] = jnp.asarray(_kmer_codes(s, 5, L))
+    tabs["tetra_code"] = jnp.asarray(_kmer_codes(s, 6, L))
+    tabs["hexa_code"] = jnp.asarray(_kmer_codes(s, 8, L))
+
+    f32 = np.float32
+    sc = f32(np.exp(-0.6))
+    ok = False
+    for _ in range(16):
+        pout, Q = MK.mccaskill_fast(
+            jnp.asarray(s), jnp.asarray(pt), jnp.asarray(allow_pair),
+            jnp.asarray(allow_unpaired), jnp.int32(n), jnp.float32(sc),
+            tabs, L=L,
+        )
+        Qv = float(Q)
+        if np.isfinite(Qv) and 1e-25 < Qv < 1e25:
+            pm = np.asarray(pout)
+            if np.isfinite(pm).all():
+                ok = True
+                break
+        sc = f32(sc * (0.8 if (not np.isfinite(Qv) or Qv >= 1e25) else 1.25))
+    if not ok:
+        raise FloatingPointError(f"mccaskill_fast did not stabilize (L={n})")
     pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
     pm[pm <= th] = 0.0
     np.clip(pm, 0.0, 1.0, out=pm)

@@ -1,0 +1,495 @@
+"""Gather-free McCaskill inside/outside (TPU fast path).
+
+The first implementation indexed parameter tables and the qb matrix with
+O(L * 31 * 31) index arrays per diagonal — XLA lowers such gathers to
+scalar loops on TPU, which measured ~1000x slower than the arithmetic.
+This version eliminates every large gather:
+
+- the interior-loop stencil is factorized: per-cell "inner side" factors
+  (inner pair type + its adjacent bases) are precomputed once as matrices,
+  multiplied into diagonal-major copies of qb as each diagonal completes,
+  and consumed via one dynamic row-slice + 31 static column shifts;
+  per-(l1,l2) constants (loop lengths, NINIO, scaling) contract with the
+  shifted stack as a single (31*31) tensordot;
+- the special stencil positions that couple outer and inner identities
+  (stack, 1-bulges, 1x1/2x1/2x2 interiors) use per-diagonal L-element
+  lookups only;
+- all former (L, L) iota-gathers (multiloop splits, outside accumulator
+  updates) are expressed as transposes + constant/dynamic 2-D slices.
+
+Semantics are identical to ops/mccaskill.py's first implementation and are
+locked by the same enumeration-oracle tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafs_tpu.ops import energy_params as ep
+
+TURN = ep.TURN
+MAXLOOP = ep.MAXLOOP
+SW = MAXLOOP + 1  # stencil width
+RP = SW + 5       # top row padding of diag-major buffers
+
+
+def _dyn_rows(x, start, nrows):
+    return jax.lax.dynamic_slice(x, (start, 0), (nrows, x.shape[1]))
+
+
+def _dyn_vec(x, start, n):
+    return jax.lax.dynamic_slice(x, (start,), (n,))
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def mccaskill_fast(S, pt, allow_pair, allow_unpaired, n, sc, tabs, *, L):
+    """Returns (pout, Q); see ops/mccaskill.py for argument semantics."""
+    f = jnp.float32
+    Lp = L + 2
+    NROWS = Lp + 2 * RP
+    idx = jnp.arange(Lp)
+    ii = idx
+    RT = jnp.asarray(ep.RTYPE)
+    t = tabs
+    bs = t["mlb"] * sc
+
+    # ---- one-time precomputes ---------------------------------------------
+    logv = jnp.where((idx >= 1) & (idx <= n) & allow_unpaired, 1.0, 0.0)
+    blocked_pref = jnp.cumsum(jnp.where(idx >= 1, 1.0 - logv, 0.0))
+    seg_len = idx[None, :] - idx[:, None] + 1
+    seg_blocked = blocked_pref[None, :] - blocked_pref[jnp.maximum(idx[:, None] - 1, 0)]
+    seg_ok = (seg_len <= 0) | (seg_blocked == 0)
+    bs_seg = jnp.where(
+        seg_len <= 0, 1.0, jnp.where(seg_ok, bs ** seg_len.astype(f), 0.0)
+    )
+
+    tau_of = lambda tpx: jnp.where(tpx > 2, t["tau"], 1.0)  # noqa: E731
+    rt_mat = RT[pt]
+    s_im1 = S[jnp.clip(idx - 1, 0, Lp - 1)]  # S[a-1] by row index
+    s_ip1 = S[jnp.clip(idx + 1, 0, Lp - 1)]  # S[a+1]
+
+    # inner-side per-cell factors for inner pair (a, b)
+    F_gen = t["mmI"][rt_mat, s_ip1[None, :], s_im1[:, None]]
+    F_1n = t["mm1n"][rt_mat, s_ip1[None, :], s_im1[:, None]]
+    F_23 = t["mm23"][rt_mat, s_ip1[None, :], s_im1[:, None]]
+    F_tau = tau_of(rt_mat)
+    # outer-side per-cell factors (outside pass)
+    G_gen = t["mmI"][pt, s_ip1[:, None], s_im1[None, :]]
+    G_1n = t["mm1n"][pt, s_ip1[:, None], s_im1[None, :]]
+    G_23 = t["mm23"][pt, s_ip1[:, None], s_im1[None, :]]
+    G_tau = tau_of(pt)
+
+    # left-diag layouts (one-time iota gathers are fine)
+    dd_g = jnp.arange(Lp)[:, None]
+    colg = jnp.clip(ii[None, :] + dd_g, 0, Lp - 1)
+    inb = (ii[None, :] + dd_g) <= (Lp - 1)
+
+    def to_ldiag(M, fill=0.0):
+        body = jnp.where(inb, M[ii[None, :], colg], fill)
+        out = jnp.full((NROWS, Lp), fill, M.dtype)
+        return out.at[RP : RP + Lp].set(body)
+
+    PTL = to_ldiag(pt, 0)
+    GL_gen = to_ldiag(G_gen)
+    GL_1n = to_ldiag(G_1n)
+    GL_23 = to_ldiag(G_23)
+    GL_tau = to_ldiag(G_tau)
+    FL_gen = to_ldiag(F_gen)
+    FL_1n = to_ldiag(F_1n)
+    FL_23 = to_ldiag(F_23)
+    FL_tau = to_ldiag(F_tau)
+    APL = to_ldiag(allow_pair.astype(f))
+
+    tri_code, tetra_code, hexa_code = t["tri_code"], t["tetra_code"], t["hexa_code"]
+
+    C_gen = t["C_gen"]
+    C_1n = t["C_1n"]
+    C_23 = t["C_23"]
+    C_tau = t["C_tau"]
+    sc_pow = sc ** (jnp.arange(SW).astype(f) + 2.0)
+
+    # strand gates, inside orientation: g1[u, i] = seg_ok[i+1, i+u]
+    u_ar = jnp.arange(SW)[:, None]
+    g1_in = seg_ok[jnp.clip(ii[None, :] + 1, 0, Lp - 1), jnp.clip(ii[None, :] + u_ar, 0, Lp - 1)]
+    g1_in = jnp.where(u_ar == 0, True, g1_in).astype(f)
+    # outside orientation: g1o[u, i] = seg_ok[i-u, i-1]
+    g1_out = seg_ok[jnp.clip(ii[None, :] - u_ar, 0, Lp - 1), jnp.clip(ii[None, :] - 1, 0, Lp - 1)]
+    g1_out = jnp.where(u_ar == 0, True, g1_out).astype(f)
+
+    def shift_rows_down(g2):
+        # g2_us[u, s, i] = g2[s - u, i] (zeros where s < u)
+        outs = []
+        for u in range(SW):
+            z = jnp.zeros((u, Lp), g2.dtype)
+            outs.append(jnp.concatenate([z, g2[: SW - u]], axis=0))
+        return jnp.stack(outs, axis=0)
+
+    blocked_big = jnp.concatenate(
+        [jnp.zeros(4, f), blocked_pref, jnp.full(Lp + 4, 1e9, f)]
+    )
+    S_big = jnp.concatenate([jnp.zeros(4, jnp.int32), S, jnp.zeros(Lp + 4, jnp.int32)])
+
+    def dvec(vec_big, d, off):
+        # w[i] = vec[i + d + off]; vec_big has +4 offset
+        return _dyn_vec(vec_big, d + off + 4, Lp)
+
+    def svec(vec_big, off):
+        # w[i] = vec[i + off] (static off in [-4, ...])
+        return _dyn_vec(vec_big, off + 4, Lp)
+
+    def pad_cols(x, left, right):
+        return jnp.concatenate(
+            [jnp.zeros((x.shape[0], left), x.dtype), x,
+             jnp.zeros((x.shape[0], right), x.dtype)], axis=1
+        )
+
+    def pad_rows(x, top, bottom):
+        return jnp.concatenate(
+            [jnp.zeros((top, x.shape[1]), x.dtype), x,
+             jnp.zeros((bottom, x.shape[1]), x.dtype)], axis=0
+        )
+
+    def ldiag_row(B, d):
+        return _dyn_rows(B, d + RP, 1)[0]
+
+    def write_row(B, d, vec):
+        return jax.lax.dynamic_update_slice(B, vec[None, :], (d + RP, 0))
+
+    # =========================== INSIDE ====================================
+    def inside_step(carry, d):
+        (qb_mat, qm, qm1, qm1_prev, QLqb, QL_gen, QL_1n, QL_23, QL_tau) = carry
+        j_vec = ii + d
+        jc = jnp.clip(j_vec, 0, Lp - 1)
+        cell_ok = (ii >= 1) & (j_vec <= n)
+        pair_ok = cell_ok & (d > TURN) & (ldiag_row(APL, d) > 0)
+        tp_vec = ldiag_row(PTL, d)
+
+        sj1 = dvec(S_big, d, -1)   # S[j-1]
+        sjp1 = dvec(S_big, d, 1)   # S[j+1]
+        si1 = s_ip1                # S[i+1]
+        sim1 = s_im1               # S[i-1]
+
+        # --- hairpin ------------------------------------------------------
+        u_blk = dvec(blocked_big, d, -1) - blocked_pref  # pref[j-1] - pref[i]
+        hp_open = u_blk == 0.0
+        d_size = d - 1
+        uc = jnp.clip(d_size, 0, MAXLOOP)
+        base = t["hairpin"][uc] * jnp.where(
+            d_size > MAXLOOP,
+            t["lxc"] ** jnp.log(jnp.maximum(d_size, 1).astype(f) / 30.0),
+            1.0,
+        )
+        mmh = t["mmH"][tp_vec, si1, sj1]
+        tri = t["tri"][tri_code]
+        tetra = t["tetra"][tetra_code]
+        hexa = t["hexa"][hexa_code]
+        hp_val = jnp.where(
+            d_size == 3,
+            jnp.where(tri >= 0, tri, base * tau_of(tp_vec)),
+            jnp.where(
+                (d_size == 4) & (tetra >= 0),
+                tetra,
+                jnp.where((d_size == 6) & (hexa >= 0), hexa, base * mmh),
+            ),
+        )
+        hp = jnp.where(hp_open & (d_size >= 3), hp_val, 0.0) * sc ** (d + 1).astype(f)
+
+        # --- interior: factorized stencil ---------------------------------
+        prefs_jm1 = dvec(blocked_big, d, -1)
+        prefs_jv = jnp.stack([dvec(blocked_big, d, -v) for v in range(SW)], axis=0)
+        g2_in = ((prefs_jm1[None, :] - prefs_jv) == 0.0)
+        g2_in = jnp.where(jnp.arange(SW)[:, None] <= 1, True, g2_in).astype(f)
+        g2_us = shift_rows_down(g2_in)
+
+        def stencil(QL):
+            rows = _dyn_rows(QL, d + RP - 2 - MAXLOOP, SW)[::-1]  # s = 0..30
+            rows_p = pad_cols(rows, 0, SW + 2)
+            return jnp.stack(
+                [rows_p[:, 1 + u : 1 + u + Lp] for u in range(SW)], axis=0
+            )
+
+        def cat_sum(QL, C, outer_vec):
+            M = stencil(QL) * g1_in[:, None, :] * g2_us
+            Cs = C * sc_pow[None, :]
+            return jnp.tensordot(Cs, M, axes=([0, 1], [0, 1])) * outer_vec
+
+        interior = (
+            cat_sum(QL_gen, C_gen, ldiag_row(GL_gen, d))
+            + cat_sum(QL_1n, C_1n, ldiag_row(GL_1n, d))
+            + cat_sum(QL_23, C_23, ldiag_row(GL_23, d))
+            + cat_sum(QL_tau, C_tau, ldiag_row(GL_tau, d))
+        )
+
+        # --- special positions --------------------------------------------
+        def ql_row(QL, s, shift):
+            row = ldiag_row(QL, d - 2 - s)
+            rp = jnp.concatenate([row, jnp.zeros(SW + 2, f)])
+            return _dyn_vec(rp, shift, Lp)
+
+        def tp2_of(s, shift):
+            row = ldiag_row(PTL, d - 2 - s)
+            rp = jnp.concatenate([row, jnp.zeros(SW + 2, jnp.int32)])
+            return RT[_dyn_vec(rp, shift, Lp)]
+
+        sp2 = svec(S_big, 2)      # S[i+2]
+        sq_m1 = dvec(S_big, d, -1)
+        sq_m2 = dvec(S_big, d, -2)
+
+        t00 = ql_row(QLqb, 0, 1) * t["stack"][tp_vec, tp2_of(0, 1)] * sc_pow[0]
+        t01 = ql_row(QLqb, 1, 1) * t["bulge"][1] * t["stack"][tp_vec, tp2_of(1, 1)] * sc_pow[1]
+        t10 = ql_row(QLqb, 1, 2) * t["bulge"][1] * t["stack"][tp_vec, tp2_of(1, 2)] * sc_pow[1]
+        t11 = ql_row(QLqb, 2, 2) * t["i11"][tp_vec, tp2_of(2, 2), si1, sj1] * sc_pow[2]
+        t12 = ql_row(QLqb, 3, 2) * t["i21"][tp_vec, tp2_of(3, 2), si1, sq_m2, sj1] * sc_pow[3]
+        t21 = ql_row(QLqb, 3, 3) * t["i21"][tp2_of(3, 3), tp_vec, sq_m1, si1, sp2] * sc_pow[3]
+        t22 = ql_row(QLqb, 4, 3) * t["i22"][tp_vec, tp2_of(4, 3), si1, sp2, sq_m2, sj1] * sc_pow[4]
+
+        def gate(u, v):
+            return g1_in[u] * g2_in[v]
+
+        interior = (
+            interior
+            + t00 * gate(0, 0)
+            + t01 * gate(0, 1) + t10 * gate(1, 0)
+            + t11 * gate(1, 1)
+            + t12 * gate(1, 2) + t21 * gate(2, 1)
+            + t22 * gate(2, 2)
+        )
+
+        # --- multiloop closing --------------------------------------------
+        qm_sh = jnp.zeros((Lp, Lp), f).at[: Lp - 1, 1:].set(qm[1:, : Lp - 1])
+        qm1T_big = pad_rows(qm1.T, 4, Lp + 4)
+        qm1_rows = _dyn_rows(qm1T_big, d - 1 + 4, Lp)
+        kk = ii[None, :]
+        mlk = (kk >= ii[:, None] + 2) & (kk <= j_vec[:, None] - 1)
+        mlsum = jnp.sum(jnp.where(mlk, qm_sh * qm1_rows, 0.0), axis=1)
+        rt_vec = RT[tp_vec]
+        mlclose = t["mmM"][rt_vec, sj1, si1] * tau_of(rt_vec) * t["mli"] * t["mlc"]
+        ml = mlsum * mlclose * sc * sc
+
+        qb_new = jnp.where(pair_ok, hp + interior + ml, 0.0)
+
+        # --- qm1 ----------------------------------------------------------
+        gate_j = jnp.where((j_vec <= n) & allow_unpaired[jc], 1.0, 0.0)
+        stem_f = t["mmM"][tp_vec, sim1, sjp1] * tau_of(tp_vec) * t["mli"]
+        qm1_new = jnp.where(
+            cell_ok, qm1_prev * bs * gate_j + qb_new * stem_f, 0.0
+        )
+        write_ok = j_vec <= Lp - 1
+        qm1 = qm1.at[ii, jc].set(jnp.where(write_ok, qm1_new, qm1[ii, jc]))
+
+        # --- qm -----------------------------------------------------------
+        pre = jnp.zeros((Lp, Lp), f).at[:, 1:].set(bs_seg[:, : Lp - 1] + qm[:, : Lp - 1])
+        qm1T2_big = pad_rows(qm1.T, 4, Lp + 4)
+        qm1_rows2 = _dyn_rows(qm1T2_big, d + 4, Lp)  # qm1(k, i + d)
+        kmask = (kk >= ii[:, None]) & (kk <= j_vec[:, None])
+        qm_new = jnp.where(
+            cell_ok, jnp.sum(jnp.where(kmask, pre * qm1_rows2, 0.0), axis=1), 0.0
+        )
+        qm = qm.at[ii, jc].set(jnp.where(write_ok, qm_new, qm[ii, jc]))
+        qb_mat = qb_mat.at[ii, jc].set(jnp.where(write_ok, qb_new, qb_mat[ii, jc]))
+
+        QLqb = write_row(QLqb, d, qb_new)
+        QL_gen = write_row(QL_gen, d, qb_new * ldiag_row(FL_gen, d))
+        QL_1n = write_row(QL_1n, d, qb_new * ldiag_row(FL_1n, d))
+        QL_23 = write_row(QL_23, d, qb_new * ldiag_row(FL_23, d))
+        QL_tau = write_row(QL_tau, d, qb_new * ldiag_row(FL_tau, d))
+
+        return (qb_mat, qm, qm1, qm1_new, QLqb, QL_gen, QL_1n, QL_23, QL_tau), None
+
+    Z0 = jnp.zeros((Lp, Lp), f)
+    B0 = jnp.zeros((NROWS, Lp), f)
+    carry0 = (Z0, Z0, Z0, jnp.zeros((Lp,), f), B0, B0, B0, B0, B0)
+    (qb_mat, qm, qm1, _, QLqb, QL_gen, QL_1n, QL_23, QL_tau), _ = jax.lax.scan(
+        inside_step, carry0, jnp.arange(1, Lp - 1)
+    )
+
+    # =========================== EXTERIOR ==================================
+    i_g = ii[:, None]
+    j_g = ii[None, :]
+    s5g = jnp.where(i_g > 1, S[jnp.clip(i_g - 1, 0, Lp - 1)], 0)
+    s3g = jnp.where(j_g < n, S[jnp.clip(j_g + 1, 0, Lp - 1)], 0)
+    both_g = (i_g > 1) & (j_g < n)
+    ext_m = jnp.where(
+        both_g,
+        t["mmExt"][pt, s5g, s3g],
+        jnp.where(i_g > 1, t["d5"][pt, s5g], jnp.where(j_g < n, t["d3"][pt, s3g], 1.0)),
+    ) * tau_of(pt)
+    qb_ext = qb_mat * ext_m
+
+    def q1_step(carry, j):
+        q1 = carry
+        gate_j = jnp.where(allow_unpaired[jnp.clip(j, 0, Lp - 1)], 1.0, 0.0)
+        col = jax.lax.dynamic_slice(qb_ext, (0, j), (Lp, 1))[:, 0]
+        stems = jnp.sum(
+            jnp.where((ii >= 1) & (ii <= j), jnp.roll(q1, 1) * col, 0.0)
+        )
+        val = q1[jnp.clip(j - 1, 0, Lp - 1)] * sc * gate_j + stems
+        q1 = q1.at[j].set(jnp.where(j <= n, val, q1[jnp.clip(j, 0, Lp - 1)]), mode="drop")
+        return q1, None
+
+    q1, _ = jax.lax.scan(
+        q1_step, jnp.zeros((Lp,), f).at[0].set(1.0), jnp.arange(1, Lp - 1)
+    )
+
+    def qn_step(carry, i):
+        qn = carry
+        gate_i = jnp.where(allow_unpaired[jnp.clip(i, 0, Lp - 1)], 1.0, 0.0)
+        rowv = jax.lax.dynamic_slice(qb_ext, (i, 0), (1, Lp))[0]
+        stems = jnp.sum(
+            jnp.where((ii >= i) & (ii <= n), rowv * jnp.roll(qn, -1), 0.0)
+        )
+        val = qn[jnp.clip(i + 1, 0, Lp - 1)] * sc * gate_i + stems
+        qn = qn.at[i].set(jnp.where(i <= n, val, qn[jnp.clip(i, 0, Lp - 1)]), mode="drop")
+        return qn, None
+
+    qn_init = jnp.zeros((Lp,), f).at[jnp.clip(n + 1, 0, Lp - 1)].set(1.0)
+    qn, _ = jax.lax.scan(qn_step, qn_init, jnp.arange(Lp - 2, 0, -1))
+    Q = q1[jnp.clip(n, 0, Lp - 1)]
+
+    # =========================== OUTSIDE ===================================
+    QBL = to_ldiag(qb_mat)
+    EXL = to_ldiag(ext_m)
+    qmT_big = pad_rows(qm.T, 4, Lp + 4)
+    bsT_big = pad_rows(bs_seg.T, 4, Lp + 4)
+    qm_rows_big = pad_rows(qm, 4, Lp + 4)
+    bs_rows_big = pad_rows(bs_seg, 4, Lp + 4)
+    q1_big = jnp.concatenate([jnp.zeros(4, f), q1, jnp.zeros(Lp + 4, f)])
+    qn_big = jnp.concatenate([jnp.zeros(4, f), qn, jnp.zeros(Lp + 4, f)])
+
+    def outside_step(carry, d):
+        (pout, A1, A2, CL_gen, CL_1n, CL_23, CL_tau, CLqb) = carry
+        j_vec = ii + d
+        jc = jnp.clip(j_vec, 0, Lp - 1)
+        pair_ok = (ii >= 1) & (j_vec <= n) & (d > TURN) & (ldiag_row(APL, d) > 0)
+        tp_vec = ldiag_row(PTL, d)
+        rt_vec = RT[tp_vec]
+        sj1 = dvec(S_big, d, -1)
+        sjp1 = dvec(S_big, d, 1)
+        si1 = s_ip1
+        sim1 = s_im1
+
+        w_ext = (
+            svec(jnp.concatenate([jnp.zeros(4, f), q1, jnp.zeros(Lp + 4, f)]), -1)
+            * dvec(qn_big, d, 1)
+            * ldiag_row(EXL, d)
+            / Q
+        )
+
+        # outer-strand gates
+        prefs_j0 = dvec(blocked_big, d, 0)
+        prefs_jv = jnp.stack([dvec(blocked_big, d, v) for v in range(SW)], axis=0)
+        g2_out = ((prefs_jv - prefs_j0[None, :]) == 0.0)
+        g2_out = jnp.where(jnp.arange(SW)[:, None] == 0, True, g2_out).astype(f)
+        g2o_us = shift_rows_down(g2_out)
+
+        def stencil_out(CL):
+            rows = _dyn_rows(CL, d + RP + 2, SW)  # s = 0..30
+            rows_p = pad_cols(rows, SW + 2, 0)
+            return jnp.stack(
+                [rows_p[:, SW + 2 - 1 - u : SW + 2 - 1 - u + Lp] for u in range(SW)],
+                axis=0,
+            )
+
+        in_gen = t["mmI"][rt_vec, sjp1, sim1]
+        in_1n = t["mm1n"][rt_vec, sjp1, sim1]
+        in_23 = t["mm23"][rt_vec, sjp1, sim1]
+        in_tau = tau_of(rt_vec)
+
+        def cat_sum_out(CL, C, inner_vec):
+            M = stencil_out(CL) * g1_out[:, None, :] * g2o_us
+            Cs = C * sc_pow[None, :]
+            return jnp.tensordot(Cs, M, axes=([0, 1], [0, 1])) * inner_vec
+
+        w_int = (
+            cat_sum_out(CL_gen, C_gen, in_gen)
+            + cat_sum_out(CL_1n, C_1n, in_1n)
+            + cat_sum_out(CL_23, C_23, in_23)
+            + cat_sum_out(CL_tau, C_tau, in_tau)
+        )
+
+        def cl_row(CL, s, u):
+            row = ldiag_row(CL, d + 2 + s)
+            rp = jnp.concatenate([jnp.zeros(SW + 2, f), row])
+            return _dyn_vec(rp, SW + 2 - 1 - u, Lp)
+
+        def tpo_of(s, u):
+            row = ldiag_row(PTL, d + 2 + s)
+            rp = jnp.concatenate([jnp.zeros(SW + 2, jnp.int32), row])
+            return _dyn_vec(rp, SW + 2 - 1 - u, Lp)
+
+        sp_m1 = svec(S_big, -1)  # S[i-1]
+        sp_m2 = svec(S_big, -2)  # S[i-2]
+        sq_p1 = dvec(S_big, d, 1)
+        sq_p2 = dvec(S_big, d, 2)
+
+        o00 = cl_row(CLqb, 0, 0) * t["stack"][tpo_of(0, 0), rt_vec] * sc_pow[0]
+        o01 = cl_row(CLqb, 1, 0) * t["bulge"][1] * t["stack"][tpo_of(1, 0), rt_vec] * sc_pow[1]
+        o10 = cl_row(CLqb, 1, 1) * t["bulge"][1] * t["stack"][tpo_of(1, 1), rt_vec] * sc_pow[1]
+        o11 = cl_row(CLqb, 2, 1) * t["i11"][tpo_of(2, 1), rt_vec, sp_m1, sq_p1] * sc_pow[2]
+        o12 = cl_row(CLqb, 3, 1) * t["i21"][tpo_of(3, 1), rt_vec, sp_m1, sjp1, sq_p2] * sc_pow[3]
+        o21 = cl_row(CLqb, 3, 2) * t["i21"][rt_vec, tpo_of(3, 2), sjp1, sp_m2, sim1] * sc_pow[3]
+        o22 = cl_row(CLqb, 4, 2) * t["i22"][tpo_of(4, 2), rt_vec, sp_m2, sim1, sjp1, sq_p2] * sc_pow[4]
+
+        def gate_o(u, v):
+            return g1_out[u] * g2_out[v]
+
+        w_int = (
+            w_int
+            + o00 * gate_o(0, 0)
+            + o01 * gate_o(0, 1) + o10 * gate_o(1, 0)
+            + o11 * gate_o(1, 1)
+            + o12 * gate_o(1, 2) + o21 * gate_o(2, 1)
+            + o22 * gate_o(2, 2)
+        )
+
+        # multiloop outside
+        qm_r = _dyn_rows(qm_rows_big, d + 1 + 4, Lp)
+        qm_r = jnp.zeros((Lp, Lp), f).at[:, 1:].set(qm_r[:, : Lp - 1])
+        e_r = _dyn_rows(bs_rows_big, d + 1 + 4, Lp)
+        e_r = jnp.zeros((Lp, Lp), f).at[:, 1:].set(e_r[:, : Lp - 1])
+        ll = ii[None, :]
+        lmask = (ll >= j_vec[:, None] + 1) & (ll <= n)
+        mlsum = jnp.sum(jnp.where(lmask, (A1 + A2) * qm_r + A1 * e_r, 0.0), axis=1)
+        stem_f = t["mmM"][tp_vec, sim1, sjp1] * tau_of(tp_vec) * t["mli"]
+        w_ml = mlsum * stem_f
+
+        qb_vec = ldiag_row(QBL, d)
+        pnew = jnp.where(pair_ok, qb_vec * (w_ext + w_int + w_ml), 0.0)
+        write_ok = j_vec <= Lp - 1
+        pout = pout.at[ii, jc].set(jnp.where(write_ok, pnew, pout[ii, jc]))
+
+        # accumulator updates for this diagonal's outer pairs
+        qb_safe_vec = jnp.where(qb_vec > 0, qb_vec, 1.0)
+        close_f = t["mmM"][rt_vec, sj1, si1] * tau_of(rt_vec) * t["mli"] * t["mlc"]
+        Cvec_i = pnew / qb_safe_vec * close_f * sc * sc
+        Cvec_big = jnp.concatenate([jnp.zeros(Lp + 4, f), Cvec_i, jnp.zeros(Lp + 4, f)])
+        Cvec_ld = _dyn_vec(Cvec_big, Lp + 4 - d, Lp)  # Cvec[ld] = Cvec_i[ld - d]
+        qmT_sh = _dyn_rows(qmT_big, 4 - 1, Lp)  # rows i-1
+        qmT_sh_big = pad_cols(qmT_sh, Lp, Lp)
+        U1qm = jax.lax.dynamic_slice(qmT_sh_big, (0, Lp + 1 - d), (Lp, Lp))
+        bsT_sh = _dyn_rows(bsT_big, 4 - 1, Lp)
+        bsT_sh_big = pad_cols(bsT_sh, Lp, Lp)
+        U2bs = jax.lax.dynamic_slice(bsT_sh_big, (0, Lp + 1 - d), (Lp, Lp))
+        kd_of_ld = ll - d
+        iok = (ii[:, None] > kd_of_ld) & (ii[:, None] < ll) & (kd_of_ld >= 1) & (ll <= n)
+        A1 = A1 + jnp.where(iok, Cvec_ld[None, :] * U1qm, 0.0)
+        A2 = A2 + jnp.where(iok, Cvec_ld[None, :] * U2bs, 0.0)
+
+        Cint = pnew / qb_safe_vec
+        CL_gen = write_row(CL_gen, d, Cint * ldiag_row(GL_gen, d))
+        CL_1n = write_row(CL_1n, d, Cint * ldiag_row(GL_1n, d))
+        CL_23 = write_row(CL_23, d, Cint * ldiag_row(GL_23, d))
+        CL_tau = write_row(CL_tau, d, Cint * ldiag_row(GL_tau, d))
+        CLqb = write_row(CLqb, d, Cint)
+
+        return (pout, A1, A2, CL_gen, CL_1n, CL_23, CL_tau, CLqb), None
+
+    carry1 = (Z0, Z0, Z0, B0, B0, B0, B0, B0)
+    (pout, _, _, _, _, _, _, _), _ = jax.lax.scan(
+        outside_step, carry1, jnp.arange(Lp - 2, 0, -1)
+    )
+    return pout, Q
