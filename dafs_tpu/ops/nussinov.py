@@ -1,16 +1,17 @@
 """SparseNussinov MEA structure decoder on TPU (src/nussinov.cpp:207-298).
 
 TPU-first reformulation: the reference's sequential cell loop with an
-anchored candidate list ``bp[j]`` becomes a diagonal-wavefront `lax.scan`
-over a dense score matrix plus an incrementally-built pair-value matrix
-``m[k, j] = dp[k+1][j-1] + s(k,j)`` (only where ``s > 0``).  Tie-breaking
-replicates the reference exactly: candidates are evaluated in the order
-[down(i+1,j), left(i,j-1), pair(i,j), bifurcation k = j-3 .. i+1] and the
-*first* maximum wins (the C++ replaces only on strictly-greater).
+anchored candidate list ``bp[j]`` becomes a diagonal-wavefront `lax.scan`.
+Tie-breaking replicates the reference exactly: candidates are evaluated in
+the order [down(i+1,j), left(i,j-1), pair(i,j), bifurcation k = j-3 .. i+1]
+and the *first* maximum wins (the C++ replaces only on strictly-greater).
 
-Traceback runs on-device as a `lax.while_loop` over an explicit stack and
-yields the pairing vector ``ss`` (ss[i] = j or -1), exactly like the C++
-stack traceback (src/nussinov.cpp:265-297).
+Gather-free on TPU: scores arrive in LEFT-DIAGONAL layout (sm_l[dd, i] =
+score of pair (i, i+dd)); the DP carries a top-aligned diagonal buffer (so
+the bifurcation candidates' dp terms are one fixed-size dynamic slice) and a
+right-endpoint-indexed pair-value buffer MR (so the whole diagonal's
+candidate list is one dynamic column slice).  Traceback codes are emitted
+as scan outputs in diagonal layout and chased by an on-device stack loop.
 """
 
 from __future__ import annotations
@@ -19,93 +20,118 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = jnp.float32(-3e38)
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def decode(sm, l=None, *, L):
-    """MEA Nussinov decode of a precomputed score matrix.
+def to_ldiag(sm: np.ndarray) -> np.ndarray:
+    """Host helper: row-major (L, L) -> left-diagonal layout (L, L)."""
+    L = sm.shape[0]
+    out = np.zeros((L, L), sm.dtype)
+    for dd in range(L):
+        out[dd, : L - dd] = np.diagonal(sm, offset=dd)
+    return out
 
-    Args:
-      sm: (L, L) float32, sm[i, j] = score of pairing i with j (upper
-        triangle used); the caller builds ``w*(p-th)-q`` in reference float
-        order.  Padding cells (i or j >= l) MUST score negative so no pair
-        lands there (true whenever p=0, q=0 there and th > 0).
-      l: dynamic true length (defaults to L).  DP cells in the real region
-        never depend on padding cells, so bucket-padded shapes reuse
-        compiles; the score and traceback use the true length.
-      L: static padded length.
-    Returns:
-      (score, ss): score = dp[0, l-1]; ss (L,) int32 pairing vector, -1 for
-      unpaired.
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def decode_ldiag(sm_l, l=None, *, L):
+    """MEA Nussinov decode; sm_l[dd, i] = score of pairing (i, i+dd).
+
+    Padding cells (i or i+dd >= l) must score <= 0 so no pair lands there.
+    Returns (score, ss) with ss (L,) int32, -1 = unpaired.
     """
     if l is None:
         l = L
-    dp = jnp.zeros((L, L), jnp.float32)
-    m = jnp.full((L, L), NEG, jnp.float32)  # pair-candidate values
-    tr = jnp.zeros((L, L), jnp.int32)
-
     ii = jnp.arange(L)
-    rr = jnp.arange(L + 3)  # candidate axis in priority order
 
-    def diag_step(carry, l):
-        dp, m, tr = carry
-        jj = ii + l  # cell (i, i+l); invalid where jj >= L
+    # height 3L: rows [0, 2L) hold spans (2L-1-row); rows [2L, 3L) are
+    # zero padding so the L-row candidate window never clamps
+    DPR = jnp.zeros((3 * L, L), jnp.float32)  # row (2L-1-dd) = dp(i, i+dd)
+    MR = jnp.full((L + 1, 2 * L + 2), NEG, jnp.float32)
+
+    def diag_step(carry, xs):
+        DPR, MR, prev = carry
+        ld, s_ij = xs
+        jj = ii + ld
         valid_i = jj < L
-        jc = jnp.minimum(jj, L - 1)
 
-        t1 = dp[jnp.minimum(ii + 1, L - 1), jc]           # dp[i+1][j]
-        t2 = dp[ii, jnp.maximum(jc - 1, 0)]               # dp[i][j-1]
-        s_ij = sm[ii, jc]
-        pair = dp[jnp.minimum(ii + 1, L - 1), jnp.maximum(jc - 1, 0)] + s_ij
-        pair_ok = (s_ij > 0.0) & (l >= 3)
-        m_new = jnp.where(pair_ok & valid_i, pair, NEG)
+        t1 = jnp.concatenate([prev[1:], jnp.zeros(1, jnp.float32)])
+        t2 = prev
+        dm2 = jax.lax.dynamic_slice(DPR, (2 * L - 1 - (ld - 2), 0), (1, L))[0]
+        dp_in = jnp.concatenate([dm2[1:], jnp.zeros(1, jnp.float32)])
+        pair_ok = (s_ij > 0.0) & (ld >= 3) & valid_i
+        m_new = jnp.where(pair_ok, dp_in + s_ij, NEG)
 
-        # bifurcation candidates: r >= 3 -> k = i + l - r, value
-        # dp[i][k-1] + m[k][j]; valid for k in [i+1, j-3]
-        k = ii[:, None] + l - rr[None, :]  # (L, L+3)
-        k_ok = (rr[None, :] >= 3) & (k >= ii[:, None] + 1) & (k <= jj[:, None] - 3)
-        kc = jnp.clip(k, 0, L - 1)
-        bif = dp[ii[:, None], jnp.maximum(kc - 1, 0)] + m[kc, jc[:, None]]
-        bif = jnp.where(k_ok, bif, NEG)
+        # bifurcation candidates r = 3..ld-1
+        DProws = jax.lax.dynamic_slice(DPR, (2 * L - ld, 0), (L, L))
+        # row q of DProws = span (ld - q - 1); candidate r needs span ld-r-1 -> q = r
+        MRcols = jax.lax.dynamic_slice(MR, (0, ld), (L + 1, L))[:L]
+        cand_bif = DProws + MRcols
+        rr = jnp.arange(L)[:, None]
+        cand_bif = jnp.where((rr >= 3) & (rr <= ld - 1), cand_bif, NEG)
 
-        cand = bif
-        cand = cand.at[:, 0].set(jnp.where(l >= 2, t1, NEG))
-        cand = cand.at[:, 1].set(jnp.where(l >= 2, t2, NEG))
-        cand = cand.at[:, 2].set(jnp.where(pair_ok, pair, NEG))
-
-        v = jnp.max(cand, axis=1)
-        r_star = jnp.argmax(cand == v[:, None], axis=1)  # first max wins
+        cand = jnp.concatenate(
+            [
+                jnp.where(ld >= 2, t1, NEG)[None, :],
+                jnp.where(ld >= 2, t2, NEG)[None, :],
+                m_new[None, :],
+                cand_bif[3:],
+            ],
+            axis=0,
+        )
+        v = jnp.max(cand, axis=0)
+        r_star = jnp.argmax(cand == v[None, :], axis=0)
         has_any = v > NEG
-        v = jnp.where(has_any, v, 0.0)
-        # C++ codes: 1=down, 2=left, 3=pair, k-i+3=bifurcation at k
+        v = jnp.where(has_any & valid_i, v, 0.0)
         code = jnp.where(
             has_any,
             jnp.where(
                 r_star == 0,
                 1,
-                jnp.where(r_star == 1, 2, jnp.where(r_star == 2, 3, l - r_star + 3)),
+                jnp.where(r_star == 1, 2, jnp.where(r_star == 2, 3, ld - r_star + 3)),
             ),
             0,
         )
+        code = jnp.where(valid_i, code, 0)
 
-        dp = dp.at[ii, jj].set(jnp.where(valid_i, v, 0.0), mode="drop")
-        tr = tr.at[ii, jj].set(jnp.where(valid_i, code, 0), mode="drop")
-        m = m.at[ii, jj].set(jnp.where(valid_i, m_new, NEG), mode="drop")
-        return (dp, m, tr), None
+        DPR = jax.lax.dynamic_update_slice(DPR, v[None, :], (2 * L - 1 - ld, 0))
+        MR = jax.lax.dynamic_update_slice(MR, m_new[None, :], (ld, ld))
+        return (DPR, MR, v), code
 
-    (dp, m, tr), _ = jax.lax.scan(diag_step, (dp, m, tr), jnp.arange(1, L))
+    DPR = jax.lax.dynamic_update_slice(
+        DPR, jnp.zeros((1, L), jnp.float32), (2 * L - 1, 0)
+    )
+    (DPR, MR, _), codes = jax.lax.scan(
+        diag_step,
+        (DPR, MR, jnp.zeros((L,), jnp.float32)),
+        (jnp.arange(1, L), sm_l[1:L]),
+    )
+    # codes: (L-1, L), row ld-1 holds the codes of diagonal ld
 
-    score = dp[0, l - 1]
-    ss = _traceback(tr, l, L)
+    score = jax.lax.dynamic_slice(DPR, (2 * L - 1 - (l - 1), 0), (1, 1))[0, 0]
+    ss = _traceback(codes, l, L)
     return score, ss
 
 
-def _traceback(tr, l, L):
+@functools.partial(jax.jit, static_argnames=("L",))
+def decode(sm, l=None, *, L):
+    """Row-major convenience wrapper (converts layout on device, once)."""
+    # one-time L^2 relayout per call; prefer decode_ldiag in hot loops
+    dd_g = jnp.arange(L)[:, None]
+    colg = jnp.clip(jnp.arange(L)[None, :] + dd_g, 0, L - 1)
+    inb = (jnp.arange(L)[None, :] + dd_g) <= (L - 1)
+    sm_l = jnp.where(inb, sm[jnp.arange(L)[None, :], colg], NEG)
+    return decode_ldiag(sm_l, l, L=L)
+
+
+def _traceback(codes, l, L):
     stack = jnp.zeros((2 * L + 4, 2), jnp.int32)
     stack = stack.at[0].set(jnp.stack([jnp.int32(0), jnp.int32(l - 1)]))
     ss0 = jnp.full((L,), -1, jnp.int32)
+
+    def tr_of(i, j):
+        return jnp.where(j > i, codes[jnp.maximum(j - i - 1, 0), i], 0)
 
     def cond(state):
         _, sp, _ = state
@@ -116,7 +142,7 @@ def _traceback(tr, l, L):
         top = stack[sp - 1]
         i, j = top[0], top[1]
         sp = sp - 1
-        code = tr[i, j]
+        code = tr_of(i, j)
 
         def push(stack, sp, a, b):
             stack = stack.at[sp].set(jnp.stack([a, b]))
