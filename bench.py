@@ -66,6 +66,18 @@ def main() -> None:
     # 3 states per cell
     cells = int(np.sum((len1 + 1).astype(np.int64) * (len2 + 1)) * 3 * 2)
     cells_per_s = cells / dt
+
+    # folding stage: McCaskill partition function (gather-free kernel),
+    # O(L^3)-equivalent cell updates (interior stencil dominates: ~961 terms
+    # per qb cell, inside + outside)
+    from dafs_tpu.ops import mccaskill
+
+    seqs = [f.seq for f in fa]
+    _ = mccaskill.batch_bp_posteriors(seqs, 0.01)  # warmup/compile
+    t0 = time.perf_counter()
+    _ = mccaskill.batch_bp_posteriors(seqs, 0.01)
+    dt_fold = time.perf_counter() - t0
+    fold_cells = int(sum(len(s) ** 2 for s in seqs)) * 961 * 2
     print(
         json.dumps(
             {
@@ -76,6 +88,8 @@ def main() -> None:
                 "detail": {
                     "seq_pairs_per_s": round(B / dt, 2),
                     "wall_s_per_allpairs_batch": round(dt, 5),
+                    "mccaskill_seqs_per_s": round(len(seqs) / dt_fold, 2),
+                    "mccaskill_stencil_terms_per_s": round(fold_cells / dt_fold, 1),
                     "backend": jax.devices()[0].platform,
                 },
             }

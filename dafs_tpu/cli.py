@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bp-update", action="store_true")
     p.add_argument("--bp-update1", action="store_true")
     p.add_argument("--fold-aux", metavar="FILENAME")
+    p.add_argument("--save-align-aux", metavar="FILENAME",
+                   help="dump match posteriors (reloadable via --align-aux)")
+    p.add_argument("--save-fold-aux", metavar="FILENAME",
+                   help="dump base-pair posteriors (reloadable via --fold-aux)")
     return p
 
 
@@ -91,6 +95,8 @@ def options_from_args(args):
         use_bp_update1=bool(args.bp_update1) ^ bool(args.ipknot),
         fold_decoder=fold_decoder,
         verbose=args.verbose,
+        save_align_aux=args.save_align_aux,
+        save_fold_aux=args.save_fold_aux,
     )
 
 
@@ -101,6 +107,17 @@ def main(argv=None) -> int:
         return 1
 
     # heavy imports only after successful argument parsing
+    import jax
+
+    # keep the CPU backend available alongside the accelerator (the alifold
+    # kernel currently prefers it; see ops/alifold.py)
+    try:
+        plats = jax.config.jax_platforms
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
+
     from dafs_tpu import pipeline
     from dafs_tpu.fasta import load_fasta
     from dafs_tpu.models import align_models, fold_models

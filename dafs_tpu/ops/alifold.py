@@ -592,8 +592,22 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None) -> np.nda
     # per-column downscale ~ (per-base growth)^-nseq; see ops/mccaskill.py
     sc = f32(np.exp(-0.6 * nseq))
     ok = False
+    # The consensus kernel still uses large gathers, which are pathologically
+    # slow on TPU (see ops/mccaskill_kernel.py); run it on the CPU backend
+    # when another backend is the default.  TODO(round 2): gather-free port.
+    import contextlib
+
+    if jax.default_backend() != "cpu":
+        try:
+            cpu_dev = jax.devices("cpu")[0]
+            ctx = jax.default_device(cpu_dev)
+        except RuntimeError:
+            ctx = contextlib.nullcontext()
+    else:
+        ctx = contextlib.nullcontext()
     for _ in range(24):
-        pout, Q, _dbg = _ali_inside_outside(**args, sc=jnp.float32(sc), **tab, L=L, NS=NS)
+        with ctx:
+            pout, Q, _dbg = _ali_inside_outside(**args, sc=jnp.float32(sc), **tab, L=L, NS=NS)
         Qv = float(Q)
         if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
             ok = True

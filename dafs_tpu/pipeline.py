@@ -40,6 +40,8 @@ class Options:
     use_bp_update1: bool = False
     fold_decoder: str = "Nussinov"  # or "IPknot"
     verbose: int = 0
+    save_align_aux: str | None = None  # dump MP matrices (reference text format)
+    save_fold_aux: str | None = None   # dump BP matrices
 
 
 class Dafs:
@@ -234,6 +236,30 @@ class Dafs:
 
         self.bp = self.s_model.all_seqs(fa)
         self.mp = self.a_model.all_pairs(fa)
+
+        # checkpoint seam: persist the expensive probability stage in the
+        # reference's aux text formats (src/align.cpp:206-228, src/fold.cpp:230-259)
+        if self.o.save_fold_aux:
+            with open(self.o.save_fold_aux, "w") as fh:
+                for x in range(N):
+                    fh.write(f"> {x+1}\n")
+                    for i in range(lens[x]):
+                        js = np.nonzero(self.bp[x, i, : lens[x]])[0]
+                        fh.write(str(i + 1))
+                        for j in js:
+                            fh.write(f" {j+1}:{self.bp[x, i, j]:.9g}")
+                        fh.write("\n")
+        if self.o.save_align_aux:
+            with open(self.o.save_align_aux, "w") as fh:
+                for x in range(N - 1):
+                    for y in range(x + 1, N):
+                        fh.write(f"> {x+1} {y+1}\n")
+                        for i in range(lens[x]):
+                            ks = np.nonzero(self.mp[x, y, i, : lens[y]])[0]
+                            fh.write(str(i + 1))
+                            for k in ks:
+                                fh.write(f" {k+1}:{self.mp[x, y, i, k]:.9g}")
+                            fh.write("\n")
 
         if self.o.w_pct_f != 0.0:
             self.mp = consistency.relax_fourway_consistency(

@@ -78,3 +78,28 @@ def test_pipeline_guide_tree_only(tiny_family):
     # first (C++ pair comparison in std::priority_queue, src/dafs.cpp:468-472)
     tree_line = out.split("\n")[0]
     assert tree_line == "[ 0.9025 seq1 [ 0.95 seq2 seq3 ] ]"
+
+
+def test_save_aux_roundtrip(tiny_family, tmp_path):
+    """--save-*-aux dumps reload bit-identically through the AUX models."""
+    seqs, mp_path, bp_path = tiny_family
+    a_model = align_models.AUXAlign(mp_path, 0.01)
+    s_model = fold_models.AUXFold(bp_path, 0.01)
+    save_mp = str(tmp_path / "saved_mp.aux")
+    save_bp = str(tmp_path / "saved_bp.aux")
+    opts = pipeline.Options(
+        use_alifold=False, save_align_aux=save_mp, save_fold_aux=save_bp
+    )
+    d = pipeline.Dafs(a_model, s_model, opts, alifold_model=None)
+    out1 = d.run(seqs)
+
+    # the dump is the RAW posterior stage (run() then PCT-relaxes self.mp/bp
+    # in place), so compare against a fresh model's output
+    a2 = align_models.AUXAlign(save_mp, 0.01)
+    s2 = fold_models.AUXFold(save_bp, 0.01)
+    np.testing.assert_array_equal(a2.all_pairs(seqs), a_model.all_pairs(seqs))
+    np.testing.assert_array_equal(s2.all_seqs(seqs), s_model.all_seqs(seqs))
+
+    d2 = pipeline.Dafs(a2, s2, pipeline.Options(use_alifold=False),
+                       alifold_model=None)
+    assert d2.run(seqs) == out1
