@@ -466,7 +466,8 @@ class Alifold:
         return consensus_bp(seqs, self.th, bl=self.bl, constraint=constraint)
 
 
-def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None) -> np.ndarray:
+def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
+                 fast=True) -> np.ndarray:
     """(L, L) upper-triangular consensus pair probabilities (entries > th)."""
     t = _tables(bl)
     nseq = len(seqs)
@@ -592,9 +593,73 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None) -> np.nda
     # per-column downscale ~ (per-base growth)^-nseq; see ops/mccaskill.py
     sc = f32(np.exp(-0.6 * nseq))
     ok = False
-    # The consensus kernel still uses large gathers, which are pathologically
-    # slow on TPU (see ops/mccaskill_kernel.py); run it on the CPU backend
-    # when another backend is the default.  TODO(round 2): gather-free port.
+    if fast:
+        from dafs_tpu.ops import alifold_kernel as ak
+
+        t2 = dict(
+            stack=t["stack"], i11=t["int11"], i21=t["int21"], i22=t["int22"],
+            internal=t["internal"], ninio=t["ninio"], bulge=t["bulge"],
+            hairpin=t["hairpin"], mmH=t["mismatchH"], mmI=t["mismatchI"],
+            mm1n=t["mismatch1nI"], mm23=t["mismatch23I"], mmM=t["mismatchM"],
+            mmExt=t["mismatchExt"], d5=t["dangle5"], d3=t["dangle3"],
+            tau=t["terminal_au"], mli=t["ml_intern"],
+            mlc=t["ml_closing"] ** nseq, tri=t["triloop"],
+            tetra=t["tetraloop"], hexa=t["hexaloop"],
+            lxc=np.exp(-t["lxc"] * 10.0 / t["kt"]),
+        )
+        Lp = L + 2
+        planes = ak.build_planes(
+            t2, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
+            n, NS, Lp,
+        )
+        loop_tabs = ak.build_loop_tables(t2)
+        spec_tabs = ak.build_special_tables(t2)
+        PADC = ak.PAD
+        RIGHT = Lp + PADC
+        def bigvec(arr, repl_last=False):
+            out = np.zeros((NS, PADC + Lp + RIGHT), np.int32)
+            out[:, PADC:PADC + Lp] = arr
+            if repl_last:
+                out[:, PADC + Lp:] = arr[:, -1:]
+            return out
+        S5b = jnp.asarray(bigvec(S5))
+        S3b = jnp.asarray(bigvec(S3))
+        A2Sb = jnp.asarray(bigvec(a2s, repl_last=True))
+        planes_j = {k: jnp.asarray(v) for k, v in planes.items()}
+        loop_j = {k: jnp.asarray(v) for k, v in loop_tabs.items()}
+        spec_j = {k: (jnp.asarray(v) if hasattr(v, "shape") else jnp.float32(v))
+                  for k, v in spec_tabs.items()}
+        psc_j = jnp.asarray(psc_fac, jnp.float32)
+        ap_j = jnp.asarray(allow_pair)
+        au_j = jnp.asarray(allow_unpaired)
+        bsn0 = jnp.float32(np.float32(t["ml_base"]) ** NS)
+        for _ in range(24):
+            pout, Q = ak.alifold_fast(
+                planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
+                S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,
+                L=L, NS=NS,
+            )
+            Qv = float(Q)
+            if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
+                ok = True
+                break
+            if not np.isfinite(Qv) or Qv >= 1e25:
+                sc = f32(sc * 0.8)
+            else:
+                sc = f32(sc * 1.25)
+        if not ok:
+            raise FloatingPointError(
+                f"alifold: partition function did not stabilize (L={n}, nseq={nseq})"
+            )
+        pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
+        pm[pm <= th] = 0.0
+        pm[pm <= 1e-6] = 0.0
+        np.clip(pm, 0.0, 1.0, out=pm)
+        return pm
+    # Reference kernel (fast=False): retained for oracle tests only.  It
+    # uses large gathers, which are pathologically slow on TPU, so it runs
+    # on the CPU backend; the gather-free production path is
+    # ops/alifold_kernel.py (fast=True, default).
     import contextlib
 
     if jax.default_backend() != "cpu":
