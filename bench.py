@@ -78,6 +78,16 @@ def main() -> None:
     _ = mccaskill.batch_bp_posteriors(seqs, 0.01)
     dt_fold = time.perf_counter() - t0
     fold_cells = int(sum(len(s) ** 2 for s in seqs)) * 961 * 2
+
+    # consensus folding: gather-free alifold kernel on a gapped alignment
+    # (the per-merge hot path of the progressive joiner)
+    from dafs_tpu.ops import alifold as ali
+
+    aln = [s + "-" * (max(map(len, seqs)) - len(s)) for s in seqs[:6]]
+    _ = ali.consensus_bp(aln, 0.01)  # warmup/compile
+    t0 = time.perf_counter()
+    _ = ali.consensus_bp(aln, 0.01)
+    dt_ali = time.perf_counter() - t0
     print(
         json.dumps(
             {
@@ -90,6 +100,7 @@ def main() -> None:
                     "wall_s_per_allpairs_batch": round(dt, 5),
                     "mccaskill_seqs_per_s": round(len(seqs) / dt_fold, 2),
                     "mccaskill_stencil_terms_per_s": round(fold_cells / dt_fold, 1),
+                    "alifold_consensus_s_per_call": round(dt_ali, 4),
                     "backend": jax.devices()[0].platform,
                 },
             }

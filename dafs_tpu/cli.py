@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--weight", type=float, default=4.0)
     p.add_argument("--eta", type=float, default=0.5)
     p.add_argument("-m", "--max-iter", type=int, default=600, metavar="T")
+    p.add_argument("--dd-update", default="subgradient",
+                   choices=["subgradient", "adagrad", "adam"],
+                   help="multiplier update rule (reference's compile-time "
+                        "ADAGRAD/ADAM variants, src/dafs.cpp:67-69,984-1004)")
     p.add_argument("-f", "--fourway-pct", type=float, default=0.0)
     p.add_argument("-v", "--verbose", type=int, default=0)
     # aligning
@@ -97,6 +101,7 @@ def options_from_args(args):
         verbose=args.verbose,
         save_align_aux=args.save_align_aux,
         save_fold_aux=args.save_fold_aux,
+        dd_update=args.dd_update,
     )
 
 

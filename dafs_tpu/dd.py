@@ -71,7 +71,7 @@ def enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a, for_ip=False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L1", "L2", "U", "t_max"),
+    static_argnames=("L1", "L2", "U", "t_max", "update_rule"),
 )
 def _dd_device(
     p_x, p_y, p_z, q_x0, q_y0, q_z0,
@@ -79,14 +79,14 @@ def _dd_device(
     cbp, cbp_valid,
     env_first, env_last,
     l1, l2, w_x, w_y, th_s0, th_a, eta0, n_cbp4,
-    *, L1, L2, U, t_max,
+    *, L1, L2, U, t_max, update_rule="subgradient",
 ):
     ci, cj, ck, cl = cbp[:, 0], cbp[:, 1], cbp[:, 2], cbp[:, 3]
     ii1 = jnp.arange(L1)
     ii2 = jnp.arange(L2)
 
     def body(state):
-        (q_x, q_y, q_z, eta, c, s_prev, _, t, _, _, _, done) = state
+        (q_x, q_y, q_z, eta, c, s_prev, _, t, _, _, _, done, opt) = state
 
         sm_x = w_x * (p_x - th_s0) - q_x
         sm_y = w_y * (p_y - th_s0) - q_y
@@ -123,16 +123,49 @@ def _dd_device(
         dx = (t_x - X).astype(jnp.float32)
         mx = (X > 0) | in_cx
         upd_x = mx & (dx != 0.0)
-        q_x = jnp.where(upd_x, q_x - eta * dx, q_x)
 
         dy = (t_y - Y).astype(jnp.float32)
         my = (Y > 0) | in_cy
         upd_y = my & (dy != 0.0)
-        q_y = jnp.where(upd_y, q_y - eta * dy, q_y)
 
         dz = (Z - t_z).astype(jnp.float32)
         mz = (Z > 0) | in_cz
-        q_z = jnp.where(mz, jnp.maximum(0.0, q_z - eta * dz), q_z)
+        upd_z = mz & (dz != 0.0)
+
+        # per-entry step size (src/dafs.cpp:984-1004: adagrad_update /
+        # adam_update, applied only at violated entries)
+        if update_rule == "adagrad":
+            eps = jnp.float32(1e-6)
+            g2_x, g2_y, g2_z = opt[0], opt[1], opt[2]
+            g2_x = jnp.where(upd_x, g2_x + dx * dx, g2_x)
+            g2_y = jnp.where(upd_y, g2_y + dy * dy, g2_y)
+            g2_z = jnp.where(upd_z, g2_z + dz * dz, g2_z)
+            step_x = eta0 * dx / jnp.sqrt(g2_x + eps)
+            step_y = eta0 * dy / jnp.sqrt(g2_y + eps)
+            step_z = eta0 * dz / jnp.sqrt(g2_z + eps)
+            opt = (g2_x, g2_y, g2_z, opt[3], opt[4], opt[5])
+        elif update_rule == "adam":
+            b1, b2 = jnp.float32(0.9), jnp.float32(0.999)
+            eps = jnp.float32(1e-8)
+            tf = (t + 1).astype(jnp.float32)
+            bc1 = 1.0 - b1 ** tf
+            bc2 = 1.0 - b2 ** tf
+
+            def adam(m, v, d, upd):
+                m = jnp.where(upd, b1 * m + (1.0 - b1) * d, m)
+                v = jnp.where(upd, b2 * v + (1.0 - b2) * d * d, v)
+                return m, v, eta0 * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+            m_x, v_x, step_x = adam(opt[0], opt[3], dx, upd_x)
+            m_y, v_y, step_y = adam(opt[1], opt[4], dy, upd_y)
+            m_z, v_z, step_z = adam(opt[2], opt[5], dz, upd_z)
+            opt = (m_x, m_y, m_z, v_x, v_y, v_z)
+        else:
+            step_x, step_y, step_z = eta * dx, eta * dy, eta * dz
+
+        q_x = jnp.where(upd_x, q_x - step_x, q_x)
+        q_y = jnp.where(upd_y, q_y - step_y, q_y)
+        q_z = jnp.where(mz, jnp.maximum(0.0, q_z - jnp.where(upd_z, step_z, 0.0)), q_z)
         viol_z = ((Z > 0) & (t_z > 1)) | ((Z == 0) & in_cz & (t_z > 0))
 
         violated = (
@@ -142,20 +175,25 @@ def _dd_device(
         )
 
         done = violated == 0
-        # step width (src/dafs.cpp:1283-1288); on break the reference skips
-        # the eta update AND keeps the previous s_prev
-        improve = (s > s_prev) | (t == 0)
-        c_new = c + jnp.maximum(0.0, n_cbp4 - violated.astype(jnp.float32)) / n_cbp4
-        c = jnp.where(improve & ~done, c_new, c)
-        eta = jnp.where(improve & ~done, eta0 / (1.0 + c), eta)
+        # step width (src/dafs.cpp:1283-1288, subgradient only); on break the
+        # reference skips the eta update AND keeps the previous s_prev
+        if update_rule == "subgradient":
+            improve = (s > s_prev) | (t == 0)
+            c_new = c + jnp.maximum(0.0, n_cbp4 - violated.astype(jnp.float32)) / n_cbp4
+            c = jnp.where(improve & ~done, c_new, c)
+            eta = jnp.where(improve & ~done, eta0 / (1.0 + c), eta)
         s_out = jnp.where(done, s_prev, s)
 
-        return (q_x, q_y, q_z, eta, c, s_out, violated, t + 1, x, y, z, done)
+        return (q_x, q_y, q_z, eta, c, s_out, violated, t + 1, x, y, z, done, opt)
 
     def cond(state):
-        (_, _, _, _, _, _, _, t, _, _, _, done) = state
+        done = state[11]
+        t = state[7]
         return (t < t_max) & (~done)
 
+    zx = jnp.zeros((L1, L1), jnp.float32)
+    zy = jnp.zeros((L2, L2), jnp.float32)
+    zz = jnp.zeros((L1, L2), jnp.float32)
     init = (
         q_x0, q_y0, q_z0,
         jnp.float32(eta0), jnp.float32(0.0), jnp.float32(0.0),
@@ -163,14 +201,15 @@ def _dd_device(
         jnp.full((L1,), -1, jnp.int32), jnp.full((L2,), -1, jnp.int32),
         jnp.full((L1,), -1, jnp.int32),
         jnp.asarray(False),
+        (zx, zy, zz, zx, zy, zz),
     )
-    (q_x, q_y, q_z, eta, c, s_prev, violated, t, x, y, z, done) = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    out = jax.lax.while_loop(cond, body, init)
+    (q_x, q_y, q_z, eta, c, s_prev, violated, t, x, y, z, done, _) = out
     return s_prev, t, violated, x, y, z
 
 
-def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
+def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
+                update_rule="subgradient"):
     """Solve one merge's joint align+fold problem by dual decomposition.
 
     Args:
@@ -234,7 +273,7 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max):
         jnp.int32(L1), jnp.int32(L2),
         w_x, w_y, f(th_s[0]), f(th_a), f(eta0),
         f(4.0 * max(len(cbp), 1)),
-        L1=P1, L2=P2, U=U, t_max=t_max,
+        L1=P1, L2=P2, U=U, t_max=t_max, update_rule=update_rule,
     )
     logger.info("Step: %d, Violated: %d", int(t), int(violated))
     x = np.asarray(x)[:L1].astype(np.int64)

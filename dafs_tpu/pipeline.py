@@ -42,6 +42,7 @@ class Options:
     verbose: int = 0
     save_align_aux: str | None = None  # dump MP matrices (reference text format)
     save_fold_aux: str | None = None   # dump BP matrices
+    dd_update: str = "subgradient"  # or "adagrad" / "adam" (src/dafs.cpp:67-69)
 
 
 class Dafs:
@@ -191,7 +192,7 @@ class Dafs:
                 ),
             )
         else:
-            solver = dd.solve_by_dd
+            solver = functools.partial(dd.solve_by_dd, update_rule=self.o.dd_update)
         s, x, y, z = solver(
             p_x, p_y, p_z, len(aln1), len(aln2),
             w=self.o.w, th_s=list(self.o.th_s), th_a=self.o.th_a,

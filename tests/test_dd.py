@@ -62,3 +62,27 @@ def test_dd_group_weighting():
     np.testing.assert_array_equal(x_g, x_w)
     np.testing.assert_array_equal(y_g, y_w)
     np.testing.assert_array_equal(z_g, z_w)
+
+
+def test_dd_update_rules_converge():
+    """AdaGrad/Adam variants (src/dafs.cpp:984-1004) reach the same feasible
+    solution as plain subgradient on a consistent toy problem."""
+    import numpy as np
+
+    from dafs_tpu import dd
+
+    L = 10
+    p_x = np.zeros((L, L), np.float32)
+    p_y = np.zeros((L, L), np.float32)
+    p_z = np.eye(L, dtype=np.float32) * 0.99
+    for i, j in [(0, 9), (1, 8), (2, 7)]:
+        p_x[i, j] = p_y[i, j] = 0.9
+    base = None
+    for rule in ["subgradient", "adagrad", "adam"]:
+        s, x, y, z = dd.solve_by_dd(
+            p_x, p_y, p_z, 1, 1, w=4.0, th_s=[0.2], th_a=0.01,
+            eta0=0.5, t_max=200, update_rule=rule,
+        )
+        if base is None:
+            base = (list(x), list(y), list(z))
+        assert (list(x), list(y), list(z)) == base, rule
