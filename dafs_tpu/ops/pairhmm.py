@@ -84,20 +84,44 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     len1b = len1[:, None]
     len2b = len2[:, None]
 
-    # --- emissions, materialized once in diagonal-major layout -------------
-    # M_diag[d, b, i] = log emitPairs(c1[b, i], c2[b, d - i])
-    dd = jnp.arange(ndiag)[:, None, None]
-    ib = jnp.arange(imax)[None, None, :]
-    j_of = dd - ib  # (ndiag, 1, imax)
-    jc = jnp.clip(j_of, 0, l2max)
-    c2_diag = jnp.take_along_axis(
-        jnp.broadcast_to(codes2[None], (ndiag, B, l2max + 1)),
-        jnp.broadcast_to(jc, (ndiag, B, imax)),
-        axis=2,
-    )  # (ndiag, B, imax)
-    c1_b = codes1[None, :, :imax]  # (1, B, imax)
-    M_diag = match_t[jnp.broadcast_to(c1_b, c2_diag.shape), c2_diag]
-    E2_diag = ins_t[c2_diag]  # ins score of seq2 char at column j = d - i
+    # --- emissions, gather-free --------------------------------------------
+    # 7-letter alphabet (ScoreType/Defaults.h: ACGUTN + pad).
+    # The first version prematerialized M_diag[d, b, i] =
+    # match(c1[i], c2[d-i]) with an O(ndiag*B*imax) take_along_axis; that
+    # gather crashed the TPU worker at L~320.  Instead each scan step takes
+    # ONE dynamic slice of the reversed codes2 and resolves the 6-letter
+    # alphabet with a one-hot select.
+    oh1 = (codes1[:, :imax, None] == jnp.arange(7)[None, None, :]).astype(
+        jnp.float32
+    )
+    match_row = jnp.einsum(
+        "bic,cd->bid", oh1, match_t, precision="highest"
+    )  # match vs c2 code d; highest: TPU f32, not bf16
+    rev2 = codes2[:, ::-1]  # rev2[:, y] = codes2[:, l2max - y]
+    OFF = l2max + imax + 2
+    r2big = jnp.concatenate(
+        [
+            jnp.zeros((B, imax + 2), jnp.int32),
+            rev2,
+            jnp.zeros((B, imax), jnp.int32),
+        ],
+        axis=1,
+    )
+
+    def c2_codes_at(x):
+        # w[b, i] = codes2[b, x - i] (0 outside [0, l2max]; consumers mask)
+        return jax.lax.dynamic_slice(r2big, (0, OFF - x), (B, imax))
+
+    def emissions_at(x):
+        w = c2_codes_at(x)
+        m = jnp.zeros((B, imax), jnp.float32)
+        e2 = jnp.zeros((B, imax), jnp.float32)
+        for cch in range(7):
+            selc = w == cch
+            m = jnp.where(selc, match_row[:, :, cch], m)
+            e2 = jnp.where(selc, ins_t[cch], e2)
+        return m, e2
+
     ins1 = ins_t[codes1[:, :imax]]  # (B, imax): ins score of seq1 char at i
     ins1_next = _shift_left(ins1, jnp.float32(0.0))  # char at i+1
 
@@ -105,7 +129,8 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
         # state planes kept as separate (B, imax) arrays: a (B, 3, imax)
         # stack wastes ~62% of TPU sublanes on the size-3 middle dim
         (pm0, px0, py0, mm, mx, my) = carry  # diag d-1 then d-2
-        d, m_d, e2_d = xs
+        d = xs
+        m_d, e2_d = emissions_at(d)
         j_idx = d - i_idx  # (1, imax)
         valid = (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
         not_init = (i_idx > 1) | (j_idx > 1)
@@ -147,20 +172,17 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
 
     zero2 = jnp.full((B, imax), LOG_ZERO)
     (_, (fm_d, fx_d, fy_d)) = jax.lax.scan(
-        fwd_step, (zero2,) * 6, (jnp.arange(ndiag), M_diag, E2_diag), unroll=2
+        fwd_step, (zero2,) * 6, jnp.arange(ndiag), unroll=2
     )[0:2]
     fdiags = jnp.stack([fm_d, fx_d, fy_d], axis=2)  # (ndiag, B, 3, imax)
 
-    # backward xs: match/ins at (i+1, j+1) for cell (i, j) on diag d come
-    # from diag d+2 shifted left; ins2 at j+1 from diag d+1
-    padM = jnp.zeros((2, B, imax), M_diag.dtype)
-    M_next2 = jnp.concatenate([M_diag[2:], padM], axis=0)  # [d] -> M_diag[d+2]
-    padE = jnp.zeros((1, B, imax), E2_diag.dtype)
-    E2_next = jnp.concatenate([E2_diag[1:], padE], axis=0)  # [d] -> E2_diag[d+1]
-
+    # backward emissions: match/ins at (i+1, j+1) for cell (i, j) on diag d
+    # come from diag d+2 shifted left; ins2 at j+1 from diag d+1
     def bwd_step(carry, xs):
         (nm0, nx0, ny0, nm2, nx2, ny2) = carry  # diag d+1 then d+2
-        d, m_n2, e2_n = xs
+        d = xs
+        m_n2, _ = emissions_at(d + 2)
+        _, e2_n = emissions_at(d + 1)
         j_idx = d - i_idx
         valid = (i_idx >= 0) & (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
 
@@ -210,7 +232,7 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     (_, (bm_d, bx_d, by_d)) = jax.lax.scan(
         bwd_step,
         (zero2,) * 6,
-        (jnp.arange(ndiag - 1, -1, -1), M_next2[::-1], E2_next[::-1]),
+        jnp.arange(ndiag - 1, -1, -1),
         unroll=2,
     )[0:2]
     bdiags = jnp.stack([bm_d, bx_d, by_d], axis=2)[::-1]  # index by d again
@@ -242,16 +264,18 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     total = (total_f + total_b) / jnp.float32(2.0)
 
     # ---- posterior (ProbabilisticModel.h:374-403) ----
-    ii = jnp.arange(l1max + 1)[:, None]
-    jj = jnp.arange(l2max + 1)[None, :]
-    dsel = ii + jj
+    # diag-major -> row-major via a pad+reshape shear (gather-free):
+    # PD[b, i, d] rows sheared so that row i starts at its own diagonal.
     fm = fdiags[:, :, 0, :]  # (ndiag, B, imax)
     bm = bdiags[:, :, 0, :]
-    f_cells = fm[dsel, :, ii]  # (l1max+1, l2max+1, B)
-    b_cells = bm[dsel, :, ii]
-    logp = f_cells + b_cells - total[None, None, :]
-    post = probcons_exp(jnp.minimum(jnp.float32(0.0), logp))
-    post = jnp.moveaxis(post, -1, 0)  # (B, l1max+1, l2max+1)
+    logp_d = fm + bm - total[None, :, None]
+    post_d = probcons_exp(jnp.minimum(jnp.float32(0.0), logp_d))
+    PD = jnp.transpose(post_d, (1, 2, 0))  # (B, imax, ndiag)
+    W = ndiag  # >= imax + l2max: i + j <= ndiag - 1 for kept (i, j)
+    flat = PD.reshape(B, imax * W)
+    flat = jnp.concatenate([flat, jnp.zeros((B, imax), flat.dtype)], axis=1)
+    sheared = flat.reshape(B, imax, W + 1)  # [b, i, j] = PD[b, i, i + j]
+    post = sheared[:, :, : l2max + 1]  # (B, l1max+1, l2max+1)
 
     valid = (
         (jnp.arange(1, l1max + 1)[None, :, None] <= len1[:, None, None])
