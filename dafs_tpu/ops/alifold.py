@@ -47,10 +47,13 @@ DM = np.array(
 _EXP_CACHE: dict = {}
 
 
-def _tables(bl: bool) -> dict:
-    if bl not in _EXP_CACHE:
-        _EXP_CACHE[bl] = ep.exp_tables(bl)
-    return _EXP_CACHE[bl]
+def _tables(bl: bool, nseq: int = 1) -> dict:
+    """Comparative pf tables: per-sequence factors with kTn = kT * n_seq
+    (Vienna get_scaled_alipf_parameters), so the product over sequences
+    weighs the AVERAGE energy."""
+    if (bl, nseq) not in _EXP_CACHE:
+        _EXP_CACHE[(bl, nseq)] = ep.exp_tables(bl, kt_mult=nseq)
+    return _EXP_CACHE[(bl, nseq)]
 
 
 def _round_up(n, m):
@@ -469,8 +472,8 @@ class Alifold:
 def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
                  fast=True) -> np.ndarray:
     """(L, L) upper-triangular consensus pair probabilities (entries > th)."""
-    t = _tables(bl)
     nseq = len(seqs)
+    t = _tables(bl, nseq)
     n = len(seqs[0])
     L = _round_up(n, 32)
     NS = nseq
@@ -504,7 +507,8 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
     psc_n = make_pscores(S[:, : n + 2], n)
     psc = np.full((L + 2, L + 2), -2.0 * UNIT * 10, dtype=np.float64)
     psc[: n + 2, : n + 2] = psc_n
-    kTn = t["kt"] / 10.0 * nseq
+    # t["kt"] is already kT * n_seq (comparative params)
+    kTn = t["kt"] / 10.0
     psc_fac = np.exp(np.where(psc >= MINPSCORE, psc, -1e9) / kTn)
 
     pt7 = ep.BP_PAIR[S[:, :, None], S[:, None, :]].astype(np.int32)
@@ -590,8 +594,8 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         hexa_code=jnp.asarray(hexa_code), n=jnp.int32(n),
     )
 
-    # per-column downscale ~ (per-base growth)^-nseq; see ops/mccaskill.py
-    sc = f32(np.exp(-0.6 * nseq))
+    # per-column growth matches a single sequence's (average-energy model)
+    sc = f32(np.exp(-0.6))
     ok = False
     if fast:
         from dafs_tpu.ops import alifold_kernel as ak

@@ -102,16 +102,17 @@ for _t in (3, 4, 5, 6, 7):
     _m1n[_t] = 70
 MISMATCH_1NI_T04 = _m1n
 
-# 2x3 interior loops: closure penalty 70 for AU/GU plus G/G and U/U style
-# first-mismatch bonuses from NNDB (Mathews 2004): GG -50, UU -110? The
-# dominant, well-attested terms are the AU/GU closure penalty; mismatch
-# bonuses in the 2x3 table of rna_turner2004.par are 0/-50/-110 sparse.
+# 2x3 interior loops: closure penalty 70 for AU/GU plus the Turner-2004
+# first-mismatch bonuses (NNDB / rna_turner2004.par mismatch_interior_23):
+# A·G -50, G·A -110, G·G -70, U·U -30 (dcal), applied on both loop ends.
 _m23 = np.zeros((NBPAIRS + 1, 5, 5), dtype=np.int32)
 for _t in (3, 4, 5, 6, 7):
     _m23[_t] = 70
-# G·G first mismatch bonus
 for _t in range(1, NBPAIRS + 1):
-    _m23[_t, 3, 3] += -50
+    _m23[_t, 1, 3] += -50   # A·G
+    _m23[_t, 3, 1] += -110  # G·A
+    _m23[_t, 3, 3] += -70   # G·G
+    _m23[_t, 4, 4] += -30   # U·U
 MISMATCH_23I_T04 = _m23
 
 TRILOOPS_T04 = {"CAACG": 680, "GUUAC": 690}
@@ -121,6 +122,24 @@ HEXALOOPS_T04 = {
     "ACAGUGCU": 290,
     "ACAGUGUU": 180,
 }
+
+def pf_smooth(e):
+    """Vienna params.c SMOOTH applied in the energy domain: the effective
+    pf energy for dangles / exterior / multiloop mismatches (pf_smooth=1).
+    Returns -SMOOTH(-e) so exp(-pf_smooth(e)*10/kT) == the pf factor."""
+    x = -np.asarray(e, dtype=np.float64)
+    xs = x / 10.0
+    g = np.where(
+        xs < -1.2283697,
+        0.0,
+        np.where(
+            xs > 0.8660254,
+            x,
+            10.0 * 0.38490018 * (np.sin(xs - 0.34242663) + 1.0) ** 2,
+        ),
+    )
+    return -g
+
 
 _BL = None
 
@@ -185,14 +204,36 @@ def encode_rna(seq: str) -> np.ndarray:
     return table[np.frombuffer(seq.encode("latin1"), dtype=np.uint8)]
 
 
-def exp_tables(bl: bool = True, temperature: float = TEMP37) -> dict:
-    """Boltzmann-factor tables: exp(-E * 10 / kT), kT in cal/mol."""
+def exp_tables(bl: bool = True, temperature: float = TEMP37,
+               kt_mult: int = 1) -> dict:
+    """Boltzmann-factor tables: exp(-E * 10 / kT), kT in cal/mol.
+
+    Dangles and exterior/multiloop mismatches use ViennaRNA's pf smoothing
+    (params.c RESCALE_BF_SMOOTH with pf_smooth=1, the library default the
+    reference runs under): factor = exp(SMOOTH(-E) * 10 / kT) where SMOOTH
+    truncates destabilizing contributions to zero with a sin^2 ramp around
+    the origin (SCALE=10).  All other tables use the plain Boltzmann factor
+    (params.c RESCALE_BF).
+
+    kt_mult: Vienna's comparative (alifold) pf params are generated with
+    kTn = kT * n_seq (get_scaled_alipf_parameters / exp_params_comparative),
+    so multiplying the per-sequence factors yields the AVERAGE sequence
+    energy, not the sum.  Pass kt_mult=n_seq for consensus folding."""
     p = params(bl)
-    kt = (temperature + K0) * GASCONST
+    kt = (temperature + K0) * GASCONST * kt_mult
 
     def b(e):
         e = np.asarray(e, dtype=np.float64)
         out = np.exp(-e * 10.0 / kt)
+        out[np.asarray(e) >= INF] = 0.0
+        return out
+
+    def b_smooth(e):
+        # Vienna params.c: SMOOTH(X) = 0 if X/SCALE < -1.2283697;
+        # X if X/SCALE > 0.8660254; else
+        # SCALE*0.38490018*(sin(X/SCALE-0.34242663)+1)^2, SCALE=10,
+        # applied to X = -E so the factor is exp(SMOOTH(-E)*10/kT).
+        out = np.exp(-pf_smooth(e) * 10.0 / kt)
         out[np.asarray(e) >= INF] = 0.0
         return out
 
@@ -207,10 +248,10 @@ def exp_tables(bl: bool = True, temperature: float = TEMP37) -> dict:
         "mismatchI": b(p["mismatchI"]),
         "mismatch1nI": b(p["mismatch1nI"]),
         "mismatch23I": b(p["mismatch23I"]),
-        "mismatchExt": b(p["mismatchExt"]),
-        "mismatchM": b(p["mismatchM"]),
-        "dangle5": b(p["dangle5"]),
-        "dangle3": b(p["dangle3"]),
+        "mismatchExt": b_smooth(p["mismatchExt"]),
+        "mismatchM": b_smooth(p["mismatchM"]),
+        "dangle5": b_smooth(p["dangle5"]),
+        "dangle3": b_smooth(p["dangle3"]),
         "int11": b(p["int11"]),
         "int21": b(p["int21"]),
         "int22": b(p["int22"]),

@@ -23,7 +23,10 @@ def exact_consensus_bpp(seqs: list[str], bl: bool = True):
     n = len(seqs[0])
     p = ep.params(bl)
     kT = (ep.TEMP37 + ep.K0) * ep.GASCONST
-    kTn = kT * nseq / 1.0  # pscore already dcal; /(kT/10*n) == *10/(kT*n)
+    # Vienna comparative pf params use kTn = kT * n_seq per sequence, so the
+    # per-seq factor product weighs the AVERAGE energy over sequences
+    # (get_scaled_alipf_parameters).
+    kTn = kT * nseq
 
     S = np.zeros((nseq, n + 2), dtype=np.int32)
     for si, s in enumerate(seqs):
@@ -92,7 +95,7 @@ def exact_consensus_bpp(seqs: list[str], bl: bool = True):
                     done = True
             if not done and u != 3:
                 e += int(p["mismatchH"][tp, S3[si, i], S5[si, j]])
-            w *= np.exp(-e * 10.0 / kT)
+            w *= np.exp(-e * 10.0 / kTn)
         return w
 
     def intloop_w(i, j, k, l):
@@ -138,7 +141,7 @@ def exact_consensus_bpp(seqs: list[str], bl: bool = True):
                 e = int(p["internal"][u]) if u <= 30 else int(p["internal"][30]) + int(p["lxc"] * np.log(u / 30.0))
                 e += min(p["max_ninio"], (nl_ - ns_) * p["ninio"])
                 e += int(p["mismatchI"][tp, si1, sj1]) + int(p["mismatchI"][tp2, sq1, sp1])
-            w *= np.exp(-e * 10.0 / kT)
+            w *= np.exp(-e * 10.0 / kTn)
         return w
 
     def mlstem_w(i, j, closing):
@@ -150,30 +153,31 @@ def exact_consensus_bpp(seqs: list[str], bl: bool = True):
             else:
                 tp = ptype7(si, i, j)
                 s5, s3 = S5[si, i], S3[si, j]
-            e = int(p["mismatchM"][tp, s5, s3]) + p["ml_intern"]
+            e = float(ep.pf_smooth(p["mismatchM"][tp, s5, s3])) + p["ml_intern"]
             if tp > 2:
                 e += p["terminal_au"]
-            w *= np.exp(-e * 10.0 / kT)
+            w *= np.exp(-e * 10.0 / kTn)
         return w
 
     def extstem_w(i, j):
         w = 1.0
         for si in range(nseq):
             tp = ptype7(si, i, j)
-            e = 0
+            e = 0.0
             if i > 1 and j < n:
-                e += int(p["mismatchExt"][tp, S5[si, i], S3[si, j]])
+                e += float(ep.pf_smooth(p["mismatchExt"][tp, S5[si, i], S3[si, j]]))
             elif i > 1:
-                e += int(p["dangle5"][tp, S5[si, i]])
+                e += float(ep.pf_smooth(p["dangle5"][tp, S5[si, i]]))
             elif j < n:
-                e += int(p["dangle3"][tp, S3[si, j]])
+                e += float(ep.pf_smooth(p["dangle3"][tp, S3[si, j]]))
             if tp > 2:
                 e += p["terminal_au"]
-            w *= np.exp(-e * 10.0 / kT)
+            w *= np.exp(-e * 10.0 / kTn)
         return w
 
-    mlb_col = np.exp(-p["ml_base"] * nseq * 10.0 / kT)
-    mlc_all = np.exp(-p["ml_closing"] * nseq * 10.0 / kT)
+    # column cost: expMLbase(kTn)^n_seq == exp(-ML_BASE*10/kT)
+    mlb_col = np.exp(-p["ml_base"] * 10.0 / kT)
+    mlc_all = np.exp(-p["ml_closing"] * 10.0 / kT)
 
     structures = enumerate_structures(n)
     Z = 0.0

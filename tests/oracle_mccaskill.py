@@ -135,20 +135,21 @@ def structure_energy(pairs, s, p, n):
         return e
 
     def e_mlstem(tp, s5, s3):
-        e = int(p["mismatchM"][tp, s5, s3]) + p["ml_intern"]
+        # pf_smooth applies to the mismatchM term (params.c RESCALE_BF_SMOOTH)
+        e = float(ep.pf_smooth(p["mismatchM"][tp, s5, s3])) + p["ml_intern"]
         if tp > 2:
             e += p["terminal_au"]
         return e
 
     def e_extstem(i, j):
         tp = ptype(i, j)
-        e = 0
+        e = 0.0
         if i > 1 and j < n:
-            e += int(p["mismatchExt"][tp, s[i - 1], s[j + 1]])
+            e += float(ep.pf_smooth(p["mismatchExt"][tp, s[i - 1], s[j + 1]]))
         elif i > 1:
-            e += int(p["dangle5"][tp, s[i - 1]])
+            e += float(ep.pf_smooth(p["dangle5"][tp, s[i - 1]]))
         elif j < n:
-            e += int(p["dangle3"][tp, s[j + 1]])
+            e += float(ep.pf_smooth(p["dangle3"][tp, s[j + 1]]))
         if tp > 2:
             e += p["terminal_au"]
         return e
