@@ -33,8 +33,12 @@ class FoldModel:
             bp[i, : p.shape[0], : p.shape[1]] = p
         return bp
 
-    def batch_bp_posteriors(self, seqs) -> list[np.ndarray]:
-        return [self.bp_posterior(s) for s in seqs]
+    def batch_bp_posteriors(self, seqs, constraints=None) -> list[np.ndarray]:
+        if constraints is None:
+            return [self.bp_posterior(s) for s in seqs]
+        return [
+            self.bp_posterior_constrained(s, c) for s, c in zip(seqs, constraints)
+        ]
 
 
 class RNAfold(FoldModel):
@@ -46,10 +50,12 @@ class RNAfold(FoldModel):
         super().__init__(th)
         self.bl = bl
 
-    def batch_bp_posteriors(self, seqs):
+    def batch_bp_posteriors(self, seqs, constraints=None):
         from dafs_tpu.ops import mccaskill
 
-        return mccaskill.batch_bp_posteriors(seqs, self.th, bl=self.bl)
+        return mccaskill.batch_bp_posteriors(
+            seqs, self.th, bl=self.bl, constraints=constraints
+        )
 
     def bp_posterior(self, seq):
         return self.batch_bp_posteriors([seq])[0]
@@ -65,10 +71,10 @@ class RNAfold(FoldModel):
 class CONTRAfold(FoldModel):
     """CONTRAfold v2 log-linear model (-s CONTRAfold)."""
 
-    def batch_bp_posteriors(self, seqs):
+    def batch_bp_posteriors(self, seqs, constraints=None):
         from dafs_tpu.ops import contrafold
 
-        return contrafold.batch_bp_posteriors(seqs, self.th)
+        return contrafold.batch_bp_posteriors(seqs, self.th, constraints=constraints)
 
     def bp_posterior(self, seq):
         return self.batch_bp_posteriors([seq])[0]

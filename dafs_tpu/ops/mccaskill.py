@@ -566,19 +566,92 @@ def _prepare(seq: str, L: int, constraint: str | None):
     return s, pt, allow_pair, allow_unpaired
 
 
+_VMAPPED_FAST: dict = {}
+
+
+def _batched_fast(L):
+    """vmap of the gather-free kernel over a length bucket."""
+    if L not in _VMAPPED_FAST:
+        from dafs_tpu.ops import mccaskill_kernel as MK
+
+        def call(S, pt, ap, au, tri, tet, hexa, n, sc, base):
+            tabs = dict(base)
+            tabs["tri_code"] = tri
+            tabs["tetra_code"] = tet
+            tabs["hexa_code"] = hexa
+            return MK.mccaskill_fast(S, pt, ap, au, n, sc, tabs, L=L)
+
+        _VMAPPED_FAST[L] = jax.jit(
+            jax.vmap(call, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+        )
+    return _VMAPPED_FAST[L]
+
+
+def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None):
+    """Batched gather-free kernel: one launch per length bucket, vmapped over
+    the sequences (shardable along the batch axis on a device mesh)."""
+    base = _fast_tabs(bl)
+    f32 = np.float32
+    out: list = [None] * len(seqs)
+    buckets: dict[int, list[int]] = {}
+    for i, s in enumerate(seqs):
+        buckets.setdefault(_round_up(len(s), 32), []).append(i)
+    for L, idxs in buckets.items():
+        B = len(idxs)
+        S = np.zeros((B, L + 2), np.int32)
+        PT = np.zeros((B, L + 2, L + 2), np.int32)
+        AP = np.zeros((B, L + 2, L + 2), bool)
+        AU = np.zeros((B, L + 2), bool)
+        TRI = np.zeros((B, L + 2), np.int32)
+        TET = np.zeros((B, L + 2), np.int32)
+        HEX = np.zeros((B, L + 2), np.int32)
+        ns = np.zeros(B, np.int32)
+        for bi, i in enumerate(idxs):
+            c = constraints[i] if constraints is not None else None
+            s_, pt_, ap_, au_ = _prepare(seqs[i], L, c)
+            S[bi], PT[bi], AP[bi], AU[bi] = s_, pt_, ap_, au_
+            TRI[bi] = _kmer_codes(s_, 5, L)
+            TET[bi] = _kmer_codes(s_, 6, L)
+            HEX[bi] = _kmer_codes(s_, 8, L)
+            ns[bi] = len(seqs[i])
+        fn = _batched_fast(L)
+        sc = np.full(B, np.exp(-0.6), np.float32)
+        for _ in range(16):
+            pout, Q = fn(
+                jnp.asarray(S), jnp.asarray(PT), jnp.asarray(AP),
+                jnp.asarray(AU), jnp.asarray(TRI), jnp.asarray(TET),
+                jnp.asarray(HEX), jnp.asarray(ns), jnp.asarray(sc), base,
+            )
+            Qv = np.asarray(Q)
+            pm = np.asarray(pout)
+            good = (
+                np.isfinite(Qv) & (Qv > 1e-25) & (Qv < 1e25)
+                & np.isfinite(pm).all(axis=(1, 2))
+            )
+            if good.all():
+                break
+            over = ~np.isfinite(Qv) | (Qv >= 1e25)
+            sc = np.where(good, sc, np.where(over, f32(sc * 0.8), f32(sc * 1.25)))
+        else:
+            raise FloatingPointError("mccaskill_fast: batch did not stabilize")
+        for bi, i in enumerate(idxs):
+            n = len(seqs[i])
+            p = pm[bi, 1 : n + 1, 1 : n + 1].astype(np.float32).copy()
+            p[p <= th] = 0.0
+            np.clip(p, 0.0, 1.0, out=p)
+            out[i] = p
+    return out
+
+
 def batch_bp_posteriors(seqs, th, bl=True, constraints=None, fast=True):
     """BP posteriors for a batch of sequences.
 
-    fast=True uses the gather-free kernel (ops/mccaskill_kernel.py) serially
-    per sequence; fast=False uses the straightforward kernel vmapped per
+    fast=True uses the gather-free kernel (ops/mccaskill_kernel.py) vmapped
+    per length bucket; fast=False uses the straightforward kernel vmapped per
     length bucket (kept as a cross-validation reference).
     """
     if fast:
-        out = []
-        for i, s in enumerate(seqs):
-            c = constraints[i] if constraints is not None else None
-            out.append(bp_posterior_fast(s, th, bl=bl, constraint=c))
-        return out
+        return batch_bp_posteriors_fast(seqs, th, bl=bl, constraints=constraints)
     t = _tables(bl)
     f32 = np.float32
     tab = _jax_tables(t)

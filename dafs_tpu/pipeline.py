@@ -96,6 +96,9 @@ class Dafs:
         plevel = len(self.o.th_s)
         out = np.zeros((L, L), dtype=np.float32)
         left_brackets = "([{<ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        # collect all (sequence, constraint) re-fold tasks, then run them as
+        # one batched kernel launch per length bucket
+        tasks: list[tuple[int, np.ndarray, str]] = []
         for row in aln:
             s = row.seq_id
             ls = len(self.fa[s].seq)
@@ -111,8 +114,13 @@ class Dafs:
                             con[rev[ss[i]]] = ")"
                         else:
                             con[rev[i]] = con[rev[ss[i]]] = "."
-                bp = self.s_model.bp_posterior_constrained(self.fa[s].seq, "".join(con))
-                out[np.ix_(idx, idx)] += np.float32(bp / F(N))
+                tasks.append((s, idx, "".join(con)))
+        bps = self.s_model.batch_bp_posteriors(
+            [self.fa[s].seq for s, _, _ in tasks],
+            constraints=[c for _, _, c in tasks],
+        )
+        for (s, idx, _), bp in zip(tasks, bps):
+            out[np.ix_(idx, idx)] += np.float32(bp / F(N))
         if use_alifold and self.alifold is not None:
             for plv in range(plevel):
                 con = ["?"] * L

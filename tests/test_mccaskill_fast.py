@@ -24,6 +24,14 @@ def test_fast_matches_slow_kernel_real_seq():
     np.testing.assert_allclose(a, b, atol=3e-5, rtol=3e-3)
 
 
+def test_batched_fast_matches_serial():
+    seqs = ["GGGAAAACCC", "GCGCUUCGGCGC", "AUAUAUAUAUAUAU"]
+    batched = mccaskill.batch_bp_posteriors_fast(seqs, 0.0)
+    for s, got in zip(seqs, batched):
+        want = mccaskill.bp_posterior_fast(s, 0.0)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_fast_constrained():
     seq = "GGGAAAACCC"
     con = "x" * 3 + "?" * 7
