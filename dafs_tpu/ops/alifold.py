@@ -61,33 +61,31 @@ def _round_up(n, m):
 
 
 def make_pscores(S: np.ndarray, n: int, cv_fact=1.0, nc_fact=1.0) -> np.ndarray:
-    """Covariance scores (alifold.c make_pscores, default dm)."""
+    """Covariance scores (alifold.c make_pscores, default dm), vectorized:
+    per-cell pair-type counts as one-hot sums, the dm double sum as an
+    einsum (dm is symmetric with zero diagonal, so sum_{k<=l} == full/2)."""
     nseq = S.shape[0]
-    pscore = np.full((n + 2, n + 2), -2.0 * UNIT * 10, dtype=np.float64)
-    pt = ep.BP_PAIR[S[:, :, None], S[:, None, :]]  # (nseq, L+2, L+2)
+    pt = ep.BP_PAIR[S[:, :, None], S[:, None, :]]  # (nseq, n+2, n+2)
     both_gap = (S[:, :, None] == 0) & (S[:, None, :] == 0)
-    for i in range(1, n):
-        for j in range(i + TURN + 1, n + 1):
-            types = pt[:, i, j]
-            pfreq = np.zeros(8, dtype=np.int64)
-            for s in range(nseq):
-                if types[s] == 0:
-                    if both_gap[s, i, j]:
-                        pfreq[7] += 1
-                    else:
-                        pfreq[0] += 1
-                else:
-                    pfreq[types[s]] += 1
-            if pfreq[0] * 2 + pfreq[7] > nseq:
-                continue  # stays NONE
-            score = 0.0
-            for k in range(1, 7):
-                for l in range(k, 7):
-                    score += pfreq[k] * pfreq[l] * DM[k, l]
-            pscore[i, j] = cv_fact * (
-                (UNIT * score) / nseq - nc_fact * UNIT * (pfreq[0] + pfreq[7] * 0.25)
-            )
-    return pscore
+    types = np.where(pt == 0, np.where(both_gap, 7, 0), pt)  # (nseq, ., .)
+    counts = np.zeros((8,) + pt.shape[1:], dtype=np.int64)
+    for k in range(8):
+        counts[k] = (types == k).sum(axis=0)
+    cf = counts[1:7].astype(np.float64)
+    score = 0.5 * np.einsum("kij,lij,kl->ij", cf, cf, DM[1:7, 1:7])
+    pscore_all = cv_fact * (
+        (UNIT * score) / nseq
+        - nc_fact * UNIT * (counts[0] + counts[7] * 0.25)
+    )
+    none_v = -2.0 * UNIT * 10
+    ii = np.arange(pt.shape[1])
+    valid = (
+        (counts[0] * 2 + counts[7] <= nseq)
+        & (ii[:, None] >= 1)
+        & (ii[None, :] - ii[:, None] > TURN)
+        & (ii[None, :] <= n)
+    )
+    return np.where(valid, pscore_all, none_v)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "NS"))

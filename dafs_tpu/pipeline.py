@@ -238,13 +238,25 @@ class Dafs:
     # -- main -------------------------------------------------------------
 
     def run(self, fa: list[Fasta]) -> str:
+        import time as _time
+
+        t0 = _time.perf_counter()
+
+        def _phase(name):
+            nonlocal t0
+            t1 = _time.perf_counter()
+            logger.info("phase %s: %.2fs", name, t1 - t0)
+            t0 = t1
+
         self.fa = fa
         N = len(fa)
         lens = [len(f) for f in fa]
         out = io.StringIO()
 
         self.bp = self.s_model.all_seqs(fa)
+        _phase("fold (per-seq BP posteriors)")
         self.mp = self.a_model.all_pairs(fa)
+        _phase("align (all-pairs match posteriors)")
 
         # checkpoint seam: persist the expensive probability stage in the
         # reference's aux text formats (src/align.cpp:206-228, src/fold.cpp:230-259)
@@ -281,6 +293,7 @@ class Dafs:
                 sim[i, j] = sim[j, i] = consistency.similarity(
                     self.mp[i, j], self.mp[i, j] > 0, lens[i], lens[j]
                 )
+        _phase("similarity")
 
         if self.o.w_pct_s != 0.0:
             self.bp = consistency.relax_basepairing_probability(
@@ -291,10 +304,12 @@ class Dafs:
                 self.mp, sim, lens, self.o.w_pct_a
             )
 
+        _phase("PCT")
         self.tree = guide_tree.build_tree(sim)
         out.write(guide_tree.print_tree(self.tree, [f.name for f in fa]) + "\n")
 
         s, ss, aln = self._align(len(self.tree) - 1)
+        _phase("progressive merges")
 
         for _ in range(self.o.n_refinement):
             s_new, ss_new, aln_new = self._refine(ss, aln)
@@ -308,6 +323,7 @@ class Dafs:
             ss0, str0 = self._decode_structure(p, self.o.th_s1)
             p = self._update_bp(p, ss0, str0, aln, use_alifold=True)
         ss, sstr = self._decode_structure(p, self.o.th_s1)
+        _phase("final decode")
 
         aln_sorted = sorted(aln, key=lambda r: r.seq_id)
         out.write(">SS_cons\n")
