@@ -114,6 +114,15 @@ def main(argv=None) -> int:
     # heavy imports only after successful argument parsing
     import jax
 
+    # persistent compile cache: the kernels are re-jitted per (length-bucket,
+    # group-size) combination; caching the executables across processes turns
+    # repeat runs from minutes of XLA compilation into seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DAFS_TPU_COMPILE_CACHE", "/tmp/dafs_tpu_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # keep the CPU backend available alongside the accelerator (the alifold
     # kernel currently prefers it; see ops/alifold.py)
     try:

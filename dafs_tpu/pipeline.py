@@ -168,6 +168,9 @@ class Dafs:
 
     def _align_alignments(self, aln1, aln2):
         """One progressive merge (src/dafs.cpp:913-981). Returns (s, ss, aln)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         p_x = self._avg_bp(aln1, self.o.use_alifold)
         if self.o.use_bp_update:
             ss0, str0 = self._decode_structure(p_x, self.o.th_s)
@@ -177,6 +180,7 @@ class Dafs:
             ss0, str0 = self._decode_structure(p_y, self.o.th_s)
             p_y = self._update_bp(p_y, ss0, str0, aln2, self.o.use_alifold)
         p_z = projection.average_matching_probability(self.mp, aln1, aln2)
+        _t1 = _time.perf_counter()
 
         if self.o.t_max == 0:
             # -m 0: exact joint ILP (src/dafs.cpp:110-115)
@@ -206,9 +210,15 @@ class Dafs:
             w=self.o.w, th_s=list(self.o.th_s), th_a=self.o.th_a,
             eta0=self.o.eta0, t_max=self.o.t_max,
         )
+        _t2 = _time.perf_counter()
         aln = projection.project_alignment(aln1, aln2, z)
         xx, yy = projection.project_secondary_structure(x, y, z)
         ss = np.where(xx == yy, xx, -1)
+        logger.info(
+            "merge N1=%d N2=%d L=%d: avg+alifold %.2fs, solve %.2fs, project %.2fs",
+            len(aln1), len(aln2), len(aln[0].mask),
+            _t1 - _t0, _t2 - _t1, _time.perf_counter() - _t2,
+        )
         return s, ss, aln
 
     def _align(self, node: int):
