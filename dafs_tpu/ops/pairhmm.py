@@ -284,6 +284,20 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     return jnp.where(valid, post[:, 1:, 1:], 0.0)
 
 
+def best_forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
+    """Dispatch to the Pallas kernel on TPU (bitwise-identical, faster);
+    the lax.scan path elsewhere (CPU backend, virtual meshes)."""
+    if jax.devices()[0].platform == "tpu":
+        from dafs_tpu.ops import pairhmm_pallas
+
+        return pairhmm_pallas.forward_backward_posterior(
+            codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
+        )
+    return forward_backward_posterior(
+        codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
+    )
+
+
 def batch_posteriors(seqs1, seqs2, threshold):
     """Host helper: posteriors for aligned-index pairs of raw strings.
 
@@ -304,7 +318,7 @@ def batch_posteriors(seqs1, seqs2, threshold):
     for b, s in enumerate(seqs2):
         codes2[b, 1 : len(s) + 1] = P.encode(s)
     post = np.asarray(
-        forward_backward_posterior(
+        best_forward_backward_posterior(
             jnp.asarray(codes1), jnp.asarray(len1), jnp.asarray(codes2),
             jnp.asarray(len2), l1max=l1max, l2max=l2max,
         )

@@ -30,3 +30,50 @@ def test_pairhmm_posterior_rowsums():
     assert got.shape == (len(s), len(s))
     assert np.all(got <= 1.0 + 1e-6)
     assert np.diag(got).min() > 0.5
+
+
+def test_pallas_kernel_matches_scan_interpret():
+    """The Pallas kernel (TPU fast path) must reproduce the lax.scan path.
+
+    On the CPU test backend this runs in pallas interpret mode; on real TPU
+    hardware the two are bitwise identical (validated on-chip)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    from dafs_tpu.models import probcons_params as PP
+    from dafs_tpu.ops import pairhmm, pairhmm_pallas
+
+    seqs1 = ["GGGAAACCCUUCGGGAAACCC", "GGCAAAGGCUUCGG"]
+    seqs2 = ["GGCAAAGGCUUCGGAAAGCC", "GGGAAACCCUUCG"]
+    l1max = l2max = 32
+    B = len(seqs1)
+    codes1 = np.zeros((B, l1max + 1), np.int32)
+    codes2 = np.zeros((B, l2max + 1), np.int32)
+    len1 = np.array([len(s) for s in seqs1], np.int32)
+    len2 = np.array([len(s) for s in seqs2], np.int32)
+    for b, s in enumerate(seqs1):
+        codes1[b, 1 : len(s) + 1] = PP.encode(s)
+    for b, s in enumerate(seqs2):
+        codes2[b, 1 : len(s) + 1] = PP.encode(s)
+    args = (
+        jnp.asarray(codes1), jnp.asarray(len1),
+        jnp.asarray(codes2), jnp.asarray(len2),
+    )
+    ref = np.asarray(
+        pairhmm.forward_backward_posterior(*args, l1max=l1max, l2max=l2max)
+    )
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig_call(*a, **kw)
+
+    with mock.patch.object(pl, "pallas_call", interp_call):
+        got = np.asarray(
+            pairhmm_pallas.forward_backward_posterior(
+                *args, l1max=l1max, l2max=l2max
+            )
+        )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
