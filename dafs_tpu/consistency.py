@@ -104,6 +104,49 @@ def similarity(mp: np.ndarray, present: np.ndarray, l1: int, l2: int) -> float:
     return float(np.float32(float(dp) / float(tr)))
 
 
+_SIM_BATCHED: dict = {}
+
+
+def _similarity_batched(P1, P2):
+    if (P1, P2) not in _SIM_BATCHED:
+        def call(p, present, l1, l2):
+            return _similarity_device(p, present, l1, l2, L1=P1, L2=P2)
+
+        _SIM_BATCHED[(P1, P2)] = jax.jit(jax.vmap(call))
+    return _SIM_BATCHED[(P1, P2)]
+
+
+def similarity_matrix(mp: np.ndarray, lens: list[int]) -> np.ndarray:
+    """All-pairs similarity in ONE vmapped device call.
+
+    mp: (N, N, L, L) dense match posteriors (zeros where absent).  Returns
+    the (N, N) matrix with 1.0 on the diagonal (src/dafs.cpp:1811-1819)."""
+    N = mp.shape[0]
+    pairs = [(i, j) for i in range(N) for j in range(i + 1, N)]
+    if not pairs:
+        return np.ones((N, N), np.float32)
+    P1 = _round_up(max(lens), 32)
+    P2 = P1
+    B = len(pairs)
+    pp = np.zeros((B, P1, P2), np.float32)
+    ee = np.zeros((B, P1, P2), bool)
+    l1 = np.zeros(B, np.int32)
+    l2 = np.zeros(B, np.int32)
+    for b, (i, j) in enumerate(pairs):
+        pp[b, : lens[i], : lens[j]] = mp[i, j, : lens[i], : lens[j]]
+        ee[b] = pp[b] > 0
+        l1[b], l2[b] = lens[i], lens[j]
+    dp, tr = _similarity_batched(P1, P2)(
+        jnp.asarray(pp), jnp.asarray(ee), jnp.asarray(l1), jnp.asarray(l2)
+    )
+    dp = np.asarray(dp)
+    tr = np.asarray(tr)
+    sim = np.ones((N, N), np.float32)
+    for b, (i, j) in enumerate(pairs):
+        sim[i, j] = sim[j, i] = np.float32(float(dp[b]) / float(tr[b]))
+    return sim
+
+
 # ---------------------------------------------------------------------------
 # PCT transforms
 # ---------------------------------------------------------------------------
@@ -124,6 +167,24 @@ def _pct_weights_match(sim: np.ndarray, x: int, y: int, w_pct: float) -> np.ndar
     return w
 
 
+@functools.partial(jax.jit, static_argnames=("N",))
+def _relax_mp_device(mp, W, sum_w, *, N):
+    """All-pairs 3-way PCT in one XLA program (one dispatch; each pair keeps
+    the exact per-pair einsum of the loop formulation)."""
+    out = jnp.zeros_like(mp)
+    for x in range(N - 1):
+        for y in range(x + 1, N):
+            post = jnp.einsum(
+                "z,zki,zkj->ij", W[x, y], mp[:, x], mp[:, y],
+                preferred_element_type=jnp.float32, precision="highest",
+            )
+            post = (post / sum_w[x, y]).astype(jnp.float32)
+            post = jnp.where(post <= CUTOFF, 0.0, post)
+            out = out.at[x, y].set(post)
+            out = out.at[y, x].set(post.T)
+    return out
+
+
 def relax_matching_probability(
     mp: np.ndarray, sim: np.ndarray, lens: list[int], w_pct_a: float
 ) -> np.ndarray:
@@ -135,29 +196,40 @@ def relax_matching_probability(
     conventions (entries <= CUTOFF dropped).
     """
     N, _, L, _ = mp.shape
-    out = np.zeros_like(mp)
-    mpj = jnp.asarray(mp)
+    W = np.zeros((N, N, N), np.float32)
+    sum_w = np.ones((N, N), np.float32)
     for x in range(N - 1):
         for y in range(x + 1, N):
             w = _pct_weights_match(sim, x, y, w_pct_a)
-            sum_w = np.float32(np.sum(w, dtype=np.float32))
-            # sum_z w_z * mp[z,x]^T @ mp[z,y]
-            post = np.asarray(
-                jnp.einsum(
-                    "z,zki,zkj->ij", jnp.asarray(w), mpj[:, x], mpj[:, y],
-                    preferred_element_type=jnp.float32,
-                    precision='highest',
-                )
-            )
-            post = np.float32(post / sum_w)
-            post[post <= CUTOFF] = 0.0
-            post[lens[x]:, :] = 0.0
-            post[:, lens[y]:] = 0.0
-            out[x, y] = post
-            out[y, x] = post.T
+            W[x, y] = w
+            sum_w[x, y] = np.float32(np.sum(w, dtype=np.float32))
+    out = np.array(
+        _relax_mp_device(jnp.asarray(mp), jnp.asarray(W), jnp.asarray(sum_w), N=N)
+    )
+    for x in range(N - 1):
+        for y in range(x + 1, N):
+            out[x, y, lens[x]:, :] = 0.0
+            out[x, y, :, lens[y]:] = 0.0
+            out[y, x] = out[x, y].T
     for x in range(N):
-        np.fill_diagonal(out[x, x], 0.0)
+        out[x, x] = 0.0
         out[x, x][np.arange(lens[x]), np.arange(lens[x])] = 1.0
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("N",))
+def _relax_bp_device(bp, mp, W, sum_w, *, N):
+    """All-sequence BP PCT in one XLA program (per-x einsums unrolled)."""
+    out = jnp.zeros_like(bp)
+    for x in range(N):
+        post = jnp.einsum(
+            "y,yki,ykl,ylj->ij", W[x], mp[:, x], bp, mp[:, x],
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        post = (post / sum_w[x]).astype(jnp.float32)
+        post = jnp.triu(post, 1)
+        post = jnp.where(post <= CUTOFF, 0.0, post)
+        out = out.at[x].set(post)
     return out
 
 
@@ -167,9 +239,8 @@ def relax_basepairing_probability(
     """PCT for base-pair posteriors: p'_x = sum_y w_y M_yx^T B_y M_yx."""
     N, L, _ = bp.shape
     f = np.float32
-    out = np.zeros_like(bp)
-    bpj = jnp.asarray(bp)
-    mpj = jnp.asarray(mp)
+    W = np.zeros((N, N), np.float32)
+    sum_w = np.ones(N, np.float32)
     for x in range(N):
         w = np.float32(sim[:, x]).copy()
         if w_pct_s < 0.0:
@@ -178,21 +249,17 @@ def relax_basepairing_probability(
             scale = np.full(N, f(w_pct_s) / f(N - 1) if N > 1 else f(0.0), np.float32)
             scale[x] = f(1.0 - w_pct_s)
             w = np.float32(w * scale)
-        sum_w = np.float32(np.sum(w, dtype=np.float32))
-        # sum_y w_y * mp[y,x]^T @ bp[y] @ mp[y,x]
-        post = np.asarray(
-            jnp.einsum(
-                "y,yki,ykl,ylj->ij", jnp.asarray(w), mpj[:, x], bpj, mpj[:, x],
-                preferred_element_type=jnp.float32,
-                precision="highest",
-            )
+        W[x] = w
+        sum_w[x] = np.float32(np.sum(w, dtype=np.float32))
+    out = np.array(
+        _relax_bp_device(
+            jnp.asarray(bp), jnp.asarray(mp), jnp.asarray(W),
+            jnp.asarray(sum_w), N=N,
         )
-        post = np.float32(post / sum_w)
-        post = np.triu(post, 1)  # keep i < j only
-        post[post <= CUTOFF] = 0.0
-        post[lens[x]:, :] = 0.0
-        post[:, lens[x]:] = 0.0
-        out[x] = post
+    )
+    for x in range(N):
+        out[x, lens[x]:, :] = 0.0
+        out[x, :, lens[x]:] = 0.0
     return out
 
 

@@ -297,12 +297,7 @@ class Dafs:
                 self.mp, self.bp, lens, self.o.w_pct_f
             )
 
-        sim = np.ones((N, N), dtype=np.float32)
-        for i in range(N):
-            for j in range(i + 1, N):
-                sim[i, j] = sim[j, i] = consistency.similarity(
-                    self.mp[i, j], self.mp[i, j] > 0, lens[i], lens[j]
-                )
+        sim = consistency.similarity_matrix(self.mp, lens)
         _phase("similarity")
 
         if self.o.w_pct_s != 0.0:

@@ -1,0 +1,55 @@
+"""End-to-end pipeline smoke test on a tiny synthetic family (CPU backend).
+
+Covers the full default path (pair-HMM -> McCaskill -> PCT -> tree ->
+progressive DD merges with the alifold mix -> final Nussinov decode) and the
+output format of DAFS::output (src/dafs.cpp:1578-1601)."""
+
+import re
+
+import numpy as np
+import pytest
+
+from dafs_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def tiny_fa(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fa") / "tiny.fa"
+    # three related hairpins (shared stem, varied loops)
+    p.write_text(
+        ">a\nGGGCGCAAGCCU\n"
+        ">b\nGGGCGCUUGCCU\n"
+        ">c\nGGACGCAAGCCU\n"
+    )
+    return str(p)
+
+
+def test_default_pipeline_tiny(tiny_fa, capsys):
+    rc = cli.main([tiny_fa])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    # guide tree s-expression
+    assert out[0].startswith("[ ") and out[0].count("[") == out[0].count("]")
+    assert out[1] == ">SS_cons"
+    ss = out[2]
+    assert re.fullmatch(r"[().]+", ss)
+    assert ss.count("(") == ss.count(")")
+    # gapped alignment: names sorted, rows same width as SS_cons
+    names = [l[2:] for l in out[3::2]]
+    assert names == sorted(names) == ["a", "b", "c"]
+    rows = out[4::2]
+    assert all(len(r) == len(ss) for r in rows)
+    # ungapped rows reproduce the input sequences
+    assert rows[0].replace("-", "") == "GGGCGCAAGCCU"
+
+
+def test_pipeline_refinement_and_ipknot(tiny_fa, capsys):
+    rc = cli.main(["-r", "2", tiny_fa])
+    assert rc == 0
+    out1 = capsys.readouterr().out
+    assert ">SS_cons" in out1
+
+    rc = cli.main(["--ipknot", tiny_fa])
+    assert rc == 0
+    out2 = capsys.readouterr().out
+    assert ">SS_cons" in out2
