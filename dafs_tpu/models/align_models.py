@@ -45,8 +45,14 @@ class ProbCons(AlignModel):
     """ProbCons-RNA pair-HMM (default -a ProbCons)."""
 
     def batch_pair_posteriors(self, seqs1, seqs2):
+        import jax
+
         from dafs_tpu.ops import pairhmm
 
+        if jax.device_count() > 1:
+            from dafs_tpu.parallel import mesh
+
+            return mesh.sharded_pair_posteriors(seqs1, seqs2, self.th)
         return pairhmm.batch_posteriors(seqs1, seqs2, self.th)
 
     def pair_posterior(self, seq1, seq2):

@@ -51,8 +51,16 @@ class RNAfold(FoldModel):
         self.bl = bl
 
     def batch_bp_posteriors(self, seqs, constraints=None):
+        import jax
+
         from dafs_tpu.ops import mccaskill
 
+        if jax.device_count() > 1:
+            from dafs_tpu.parallel import mesh
+
+            return mesh.sharded_bp_posteriors(
+                seqs, self.th, bl=self.bl, constraints=constraints
+            )
         return mccaskill.batch_bp_posteriors(
             seqs, self.th, bl=self.bl, constraints=constraints
         )

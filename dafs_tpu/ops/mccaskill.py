@@ -587,9 +587,14 @@ def _batched_fast(L):
     return _VMAPPED_FAST[L]
 
 
-def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None):
+def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None, put=None,
+                             b_mult=1):
     """Batched gather-free kernel: one launch per length bucket, vmapped over
-    the sequences (shardable along the batch axis on a device mesh)."""
+    the sequences (shardable along the batch axis on a device mesh).
+
+    put: optional device_put-like callable applied to every batched array
+    (e.g. a NamedSharding placement); b_mult: pad the batch to a multiple of
+    this (the mesh size) so the work axis divides evenly."""
     base = _fast_tabs(bl)
     f32 = np.float32
     out: list = [None] * len(seqs)
@@ -597,7 +602,7 @@ def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None):
     for i, s in enumerate(seqs):
         buckets.setdefault(_round_up(len(s), 32), []).append(i)
     for L, idxs in buckets.items():
-        B = len(idxs)
+        B = -(-len(idxs) // b_mult) * b_mult
         S = np.zeros((B, L + 2), np.int32)
         PT = np.zeros((B, L + 2, L + 2), np.int32)
         AP = np.zeros((B, L + 2, L + 2), bool)
@@ -606,6 +611,7 @@ def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None):
         TET = np.zeros((B, L + 2), np.int32)
         HEX = np.zeros((B, L + 2), np.int32)
         ns = np.zeros(B, np.int32)
+        ns[:] = 1  # padded rows: trivial length-1 problems
         for bi, i in enumerate(idxs):
             c = constraints[i] if constraints is not None else None
             s_, pt_, ap_, au_ = _prepare(seqs[i], L, c)
@@ -615,12 +621,15 @@ def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None):
             HEX[bi] = _kmer_codes(s_, 8, L)
             ns[bi] = len(seqs[i])
         fn = _batched_fast(L)
+        if put is None:
+            put = jnp.asarray
         sc = np.full(B, np.exp(-0.6), np.float32)
         for _ in range(16):
             pout, Q = fn(
-                jnp.asarray(S), jnp.asarray(PT), jnp.asarray(AP),
-                jnp.asarray(AU), jnp.asarray(TRI), jnp.asarray(TET),
-                jnp.asarray(HEX), jnp.asarray(ns), jnp.asarray(sc), base,
+                put(jnp.asarray(S)), put(jnp.asarray(PT)), put(jnp.asarray(AP)),
+                put(jnp.asarray(AU)), put(jnp.asarray(TRI)),
+                put(jnp.asarray(TET)), put(jnp.asarray(HEX)),
+                put(jnp.asarray(ns)), put(jnp.asarray(sc)), base,
             )
             Qv = np.asarray(Q)
             pm = np.asarray(pout)
@@ -628,7 +637,7 @@ def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None):
                 np.isfinite(Qv) & (Qv > 1e-25) & (Qv < 1e25)
                 & np.isfinite(pm).all(axis=(1, 2))
             )
-            if good.all():
+            if good[: len(idxs)].all():
                 break
             over = ~np.isfinite(Qv) | (Qv >= 1e25)
             sc = np.where(good, sc, np.where(over, f32(sc * 0.8), f32(sc * 1.25)))

@@ -73,3 +73,21 @@ def sharded_pair_posteriors(seqs1, seqs2, threshold, mesh: Mesh | None = None):
         p[p <= threshold] = 0.0
         out.append(p)
     return out
+
+
+def sharded_bp_posteriors(seqs, threshold, bl=True, constraints=None,
+                          mesh: Mesh | None = None):
+    """Per-sequence McCaskill BP posteriors sharded across the work axis.
+
+    The N folding problems (SURVEY §2.5: the O(N L^3) stage) run as the same
+    vmapped gather-free kernel with the batch axis laid out over the mesh."""
+    from dafs_tpu.ops import mccaskill
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    sharding = NamedSharding(mesh, P("work"))
+    put = lambda x: jax.device_put(x, sharding)  # noqa: E731
+    return mccaskill.batch_bp_posteriors_fast(
+        seqs, threshold, bl=bl, constraints=constraints, put=put, b_mult=ndev
+    )
