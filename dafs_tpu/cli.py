@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fold-aux", metavar="FILENAME")
     p.add_argument("--save-align-aux", metavar="FILENAME",
                    help="dump match posteriors (reloadable via --align-aux)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(view with TensorBoard / xprof); note: device-side "
+                        "traces require a locally attached accelerator")
     p.add_argument("--save-fold-aux", metavar="FILENAME",
                    help="dump base-pair posteriors (reloadable via --fold-aux)")
     return p
@@ -169,7 +173,12 @@ def main(argv=None) -> int:
 
     fa = load_fasta(args.input)
     d = pipeline.Dafs(a_model, s_model, opts, alifold_model=alifold_model)
-    sys.stdout.write(d.run(fa))
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            out = d.run(fa)
+    else:
+        out = d.run(fa)
+    sys.stdout.write(out)
     return 0
 
 
