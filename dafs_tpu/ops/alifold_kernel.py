@@ -575,8 +575,10 @@ def alifold_fast(
             qm1_prev * bsn * gate_j + qb_new * ldiag_row(MLSTEML, d),
             0.0,
         )
-        write_ok = j_vec <= Lp - 1
-        qm1 = qm1.at[ii, jc].set(jnp.where(write_ok, qm1_new, qm1[ii, jc]))
+        # diagonal writes as mask-selects: TPU lowers scatters to slow
+        # sequential loops, while a (Lp, Lp) where() is pure VPU work
+        dmask = (ii[None, :] - ii[:, None]) == d
+        qm1 = jnp.where(dmask, qm1_new[:, None], qm1)
 
         pre = jnp.zeros((Lp, Lp), f).at[:, 1:].set(
             bs_seg[:, : Lp - 1] + qm[:, : Lp - 1]
@@ -587,8 +589,8 @@ def alifold_fast(
         qm_new = jnp.where(
             cell_ok, jnp.sum(jnp.where(kmask, pre * qm1_rows2, 0.0), axis=1), 0.0
         )
-        qm = qm.at[ii, jc].set(jnp.where(write_ok, qm_new, qm[ii, jc]))
-        qb_mat = qb_mat.at[ii, jc].set(jnp.where(write_ok, qb_new, qb_mat[ii, jc]))
+        qm = jnp.where(dmask, qm_new[:, None], qm)
+        qb_mat = jnp.where(dmask, qb_new[:, None], qb_mat)
         QBL = write_row(QBL, d, qb_new)
         return (qb_mat, qm, qm1, qm1_new, QBL), None
 
@@ -750,8 +752,8 @@ def alifold_fast(
 
         qb_vec = ldiag_row(QBL, d)
         pnew = jnp.where(pair_ok, qb_vec * (w_ext + w_int + w_ml), 0.0)
-        write_ok = j_vec <= Lp - 1
-        pout = pout.at[ii, jc].set(jnp.where(write_ok, pnew, pout[ii, jc]))
+        dmask = (ii[None, :] - ii[:, None]) == d
+        pout = jnp.where(dmask, pnew[:, None], pout)
 
         qb_safe_vec = jnp.where(qb_vec > 0, qb_vec, 1.0)
         Cvec_i = (
