@@ -16,3 +16,4 @@ structure prediction by dual decomposition, built TPU-first:
 __version__ = "0.1.0"
 
 from dafs_tpu.fasta import Fasta, load_fasta  # noqa: F401
+from dafs_tpu.api import Result, align_and_fold  # noqa: F401

@@ -336,4 +336,12 @@ class Dafs:
         for row in aln_sorted:
             out.write("> " + fa[row.seq_id].name + "\n")
             out.write(gapped_seq(fa[row.seq_id].seq, row.mask) + "\n")
+        # structured result for the Python API (dafs_tpu.align_and_fold)
+        self.result = dict(
+            tree=guide_tree.print_tree(self.tree, [f.name for f in fa]),
+            ss_cons=sstr,
+            names=[fa[r.seq_id].name for r in aln_sorted],
+            rows=[gapped_seq(fa[r.seq_id].seq, r.mask) for r in aln_sorted],
+            score=float(s),
+        )
         return out.getvalue()

@@ -53,3 +53,18 @@ def test_pipeline_refinement_and_ipknot(tiny_fa, capsys):
     assert rc == 0
     out2 = capsys.readouterr().out
     assert ">SS_cons" in out2
+
+
+def test_python_api(tiny_fa):
+    import dafs_tpu
+
+    res = dafs_tpu.align_and_fold(tiny_fa)
+    assert res.ss_cons.count("(") == res.ss_cons.count(")") > 0
+    assert res.names == ["a", "b", "c"]
+    assert all(len(r) == len(res.ss_cons) for r in res.rows)
+    # raw-string input with custom options
+    res2 = dafs_tpu.align_and_fold(
+        ["GGGCGCAAGCCU", "GGGCGCUUGCCU"], t_max=50, n_refinement=0
+    )
+    assert res2.names == ["seq1", "seq2"]
+    assert str(res2).count("\n") >= 6
