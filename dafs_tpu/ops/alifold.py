@@ -471,6 +471,20 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
                  fast=True) -> np.ndarray:
     """(L, L) upper-triangular consensus pair probabilities (entries > th)."""
     nseq = len(seqs)
+    if nseq == 1 and "-" not in seqs[0] and "_" not in seqs[0] and fast:
+        # A single ungapped sequence reduces exactly to the McCaskill
+        # partition function: every per-seq loop size equals the column
+        # offset, kTn = kT, the covariance factor is exp(0) = 1, and the
+        # pscore >= MINPSCORE gate admits exactly the canonical pairs
+        # (pfreq[0]*2 > 1 rejects all non-pairs).  Route to the (much
+        # faster) single-sequence kernel; Vienna's plist 1e-6 cutoff is
+        # applied the same way.
+        from dafs_tpu.ops import mccaskill
+
+        pm = mccaskill.bp_posterior_fast(seqs[0], th, bl=bl,
+                                         constraint=constraint)
+        pm[pm <= 1e-6] = 0.0
+        return pm
     t = _tables(bl, nseq)
     n = len(seqs[0])
     L = _round_up(n, 32)
