@@ -628,6 +628,45 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             t2, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
             n, NS, Lp,
         )
+        # NS-bucketing: pad the per-sequence stencil inputs with NEUTRAL
+        # rows so one trace/compile covers a range of group sizes.  A pad
+        # row contributes exactly 1.0 everywhere: its A-group OUT/IN planes
+        # are 0, its loop sizes are 0 (a2s = 0 -> m00 = 1), and its pair
+        # codes select stack[NN][NN], whose Boltzmann factor is exactly 1.0
+        # (boltzmann_param.c NST = 0); x * 1.0 is exact in f32, so results
+        # are bitwise identical to the unpadded call.  Consensus planes
+        # (HP/EXT/MLSTEM/MLCLOSE/pscores) and the host scalars (kTn tables,
+        # expMLbase^n_seq) keep the TRUE n_seq.
+        # Default: exact NS (pad rows cost device time; at N<=10 groups the
+        # trace savings don't pay for it).  For large families, set
+        # DAFS_TPU_NS_BUCKETS=1 to cap the number of traced/compiled
+        # (length, group-size) kernel shapes at log2(N).
+        import os as _os
+
+        if _os.environ.get("DAFS_TPU_NS_BUCKETS"):
+            NS_pad = 2
+            while NS_pad < NS:
+                NS_pad *= 2
+        else:
+            NS_pad = NS
+        if NS_pad > NS:
+            padn = NS_pad - NS
+            for k in ("MMI_IN", "MM1N_IN", "MM23_IN", "TAU_IN",
+                      "MMI_OUT", "MM1N_OUT", "MM23_OUT", "TAU_OUT"):
+                planes[k] = np.concatenate(
+                    [planes[k], np.zeros((padn, Lp, Lp), planes[k].dtype)]
+                )
+            for k, fill in (("TP7", 6), ("RT7", 6),
+                            ("C175_OUT", 0), ("C35_OUT", 0),
+                            ("C175_IN", 0), ("C35_IN", 0)):
+                planes[k] = np.concatenate(
+                    [planes[k], np.full((padn, Lp, Lp), fill, planes[k].dtype)]
+                )
+            zrow = np.zeros((padn, S5.shape[1]), np.int32)
+            S5 = np.concatenate([S5, zrow])
+            S3 = np.concatenate([S3, zrow])
+            a2s = np.concatenate([a2s, zrow])
+            NS = NS_pad
         loop_tabs = ak.build_loop_tables(t2)
         spec_tabs = ak.build_special_tables(t2)
         PADC = ak.PAD
@@ -648,7 +687,9 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         psc_j = jnp.asarray(psc_fac, jnp.float32)
         ap_j = jnp.asarray(allow_pair)
         au_j = jnp.asarray(allow_unpaired)
-        bsn0 = jnp.float32(np.float32(t["ml_base"]) ** NS)
+        # per-column ML base factor uses the TRUE sequence count (the pad
+        # rows are neutral and must not enter expMLbase^n_seq)
+        bsn0 = jnp.float32(np.float32(t["ml_base"]) ** nseq)
         for _ in range(24):
             pout, Q = ak.alifold_fast(
                 planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
