@@ -335,6 +335,8 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
 
 def batch_posteriors(seqs1, seqs2, threshold):
     """Dense (L1, L2) match posteriors per pair, entries kept > threshold."""
+    if not seqs1:
+        return []
     l1max = _round_up(max(len(s) for s in seqs1), 32)
     l2max = _round_up(max(len(s) for s in seqs2), 32)
     B = len(seqs1)

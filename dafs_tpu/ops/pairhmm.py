@@ -305,6 +305,8 @@ def batch_posteriors(seqs1, seqs2, threshold):
     when strictly greater than `threshold` (src/align.cpp:69-78 semantics:
     wrapper zeroes < th, adapter keeps > th).
     """
+    if not seqs1:
+        return []
     # bucket pad to limit the number of compiled variants
     l1max = _round_up(max(len(s) for s in seqs1), 32)
     l2max = _round_up(max(len(s) for s in seqs2), 32)

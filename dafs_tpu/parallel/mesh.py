@@ -40,6 +40,8 @@ def sharded_pair_posteriors(seqs1, seqs2, threshold, mesh: Mesh | None = None):
     to a multiple of the mesh size and each device runs its shard of the
     wavefront scan.
     """
+    if not seqs1:
+        return []
     if mesh is None:
         mesh = make_mesh()
     ndev = mesh.devices.size

@@ -68,3 +68,15 @@ def test_python_api(tiny_fa):
     )
     assert res2.names == ["seq1", "seq2"]
     assert str(res2).count("\n") >= 6
+
+
+def test_single_sequence_input(tmp_path, capsys):
+    """N=1: no pairs, trivial tree, fold-only structure (reference behavior)."""
+    p = tmp_path / "one.fa"
+    p.write_text(">a\nGGGCGCAAGCCU\n")
+    rc = cli.main([str(p)])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[-4] == ">SS_cons"
+    assert out[-2] == "> a"
+    assert out[-1] == "GGGCGCAAGCCU"
