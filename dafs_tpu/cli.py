@@ -125,7 +125,7 @@ def main(argv=None) -> int:
         "jax_compilation_cache_dir",
         os.environ.get("DAFS_TPU_COMPILE_CACHE", "/tmp/dafs_tpu_jax_cache"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     # keep the CPU backend available alongside the accelerator (the alifold
     # kernel currently prefers it; see ops/alifold.py)

@@ -25,13 +25,15 @@ import numpy as np
 
 from dafs_tpu.typedefs import CUTOFF
 
+from dafs_tpu.utils import aot
+
 
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("L1", "L2"))
+@aot.persistent_jit(static_argnames=("L1", "L2"))
 def _similarity_device(p, present, l1, l2, *, L1, L2):
     """dp[L1][L2] and tr[L1][L2] of the similarity DP.
 
@@ -136,8 +138,10 @@ def similarity_matrix(mp: np.ndarray, lens: list[int]) -> np.ndarray:
         pp[b, : lens[i], : lens[j]] = mp[i, j, : lens[i], : lens[j]]
         ee[b] = pp[b] > 0
         l1[b], l2[b] = lens[i], lens[j]
-    dp, tr = _similarity_batched(P1, P2)(
-        jnp.asarray(pp), jnp.asarray(ee), jnp.asarray(l1), jnp.asarray(l2)
+    dp, tr = aot.cached_call(
+        _similarity_batched(P1, P2),
+        jnp.asarray(pp), jnp.asarray(ee), jnp.asarray(l1), jnp.asarray(l2),
+        salt=f"similarity_batched P={P1}",
     )
     dp = np.asarray(dp)
     tr = np.asarray(tr)
@@ -167,7 +171,7 @@ def _pct_weights_match(sim: np.ndarray, x: int, y: int, w_pct: float) -> np.ndar
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
+@aot.persistent_jit(static_argnames=("N",))
 def _relax_mp_device(mp, W, sum_w, *, N):
     """All-pairs 3-way PCT in one XLA program (one dispatch; each pair keeps
     the exact per-pair einsum of the loop formulation)."""
@@ -217,7 +221,7 @@ def relax_matching_probability(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
+@aot.persistent_jit(static_argnames=("N",))
 def _relax_bp_device(bp, mp, W, sum_w, *, N):
     """All-sequence BP PCT in one XLA program (per-x einsums unrolled)."""
     out = jnp.zeros_like(bp)

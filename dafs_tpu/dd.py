@@ -25,6 +25,8 @@ from dafs_tpu.typedefs import CUTOFF
 from dafs_tpu.ops import nussinov, nw
 from dafs_tpu.utils.log import logger
 
+from dafs_tpu.utils import aot
+
 
 def _round_up(n, m):
     return -(-n // m) * m
@@ -69,10 +71,7 @@ def enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a, for_ip=False):
     return np.stack([xi[a], xj[a], yk[b], yl[b]], axis=1).astype(np.int64)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("L1", "L2", "U", "t_max", "update_rule"),
-)
+@aot.persistent_jit(static_argnames=("L1", "L2", "U", "t_max", "update_rule"))
 def _dd_device(
     p_x, p_y, p_z, q_x0, q_y0, q_z0,
     in_cx, in_cy, in_cz,

@@ -691,6 +691,8 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # rows are neutral and must not enter expMLbase^n_seq)
         bsn0 = jnp.float32(np.float32(t["ml_base"]) ** nseq)
         for _ in range(24):
+            # alifold_fast goes through the persistent AOT trace cache
+            # (utils/aot.py): warm processes skip ~5s/shape of tracing
             pout, Q = ak.alifold_fast(
                 planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
                 S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,

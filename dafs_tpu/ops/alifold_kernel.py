@@ -38,6 +38,8 @@ import numpy as np
 
 from dafs_tpu.ops import energy_params as ep
 
+from dafs_tpu.utils import aot
+
 TURN = ep.TURN
 MAXLOOP = ep.MAXLOOP
 SW = MAXLOOP + 1   # stencil width (u, v in [0, 30])
@@ -296,7 +298,7 @@ def _oh(x, n):
     return (x[..., None] == jnp.arange(n)).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "NS"))
+@aot.persistent_jit(static_argnames=("L", "NS"))
 def alifold_fast(
     planes, loop_tabs, spec_tabs, psc_fac, allow_pair, allow_unpaired,
     S5b, S3b, A2Sb, n, sc, bsn0, *, L, NS,

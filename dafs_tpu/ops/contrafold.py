@@ -27,6 +27,8 @@ import numpy as np
 
 from dafs_tpu.ops import contrafold_params as CF
 
+from dafs_tpu.utils import aot
+
 NEG = jnp.float32(-2e20)
 MAXS = 30  # C_MAX_SINGLE_LENGTH
 
@@ -52,7 +54,7 @@ def _lse_reduce(x, axis):
     return jnp.where(jnp.squeeze(hi, axis) > jnp.float32(-1e19), out, NEG)
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
+@aot.persistent_jit(static_argnames=("L",))
 def _contrafold_inside_outside(
     S, allow_pair, allow_unpaired_pos, n,
     t_bp, t_tm, t_hs, t_hc, t_dl, t_dr, t_b0x1, t_i1x1,

@@ -621,16 +621,26 @@ def batch_bp_posteriors_fast(seqs, th, bl=True, constraints=None, put=None,
             HEX[bi] = _kmer_codes(s_, 8, L)
             ns[bi] = len(seqs[i])
         fn = _batched_fast(L)
+        unsharded = put is None
         if put is None:
             put = jnp.asarray
         sc = np.full(B, np.exp(-0.6), np.float32)
         for _ in range(16):
-            pout, Q = fn(
+            args_dev = (
                 put(jnp.asarray(S)), put(jnp.asarray(PT)), put(jnp.asarray(AP)),
                 put(jnp.asarray(AU)), put(jnp.asarray(TRI)),
                 put(jnp.asarray(TET)), put(jnp.asarray(HEX)),
                 put(jnp.asarray(ns)), put(jnp.asarray(sc)), base,
             )
+            if unsharded:
+                # single-device path: persistent AOT trace cache
+                from dafs_tpu.utils import aot
+
+                pout, Q = aot.cached_call(
+                    fn, *args_dev, salt=f"mccaskill_batched L={L}"
+                )
+            else:
+                pout, Q = fn(*args_dev)
             Qv = np.asarray(Q)
             pm = np.asarray(pout)
             good = (

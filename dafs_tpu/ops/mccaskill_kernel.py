@@ -31,6 +31,8 @@ import numpy as np
 
 from dafs_tpu.ops import energy_params as ep
 
+from dafs_tpu.utils import aot
+
 TURN = ep.TURN
 MAXLOOP = ep.MAXLOOP
 SW = MAXLOOP + 1  # stencil width
@@ -45,7 +47,7 @@ def _dyn_vec(x, start, n):
     return jax.lax.dynamic_slice(x, (start,), (n,))
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
+@aot.persistent_jit(static_argnames=("L",))
 def mccaskill_fast(S, pt, allow_pair, allow_unpaired, n, sc, tabs, *, L):
     """Returns (pout, Q); see ops/mccaskill.py for argument semantics."""
     f = jnp.float32

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dafs_tpu.utils import aot
+
 NEG = jnp.float32(-3e38)
 
 
@@ -34,7 +36,7 @@ def to_ldiag(sm: np.ndarray) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
+@aot.persistent_jit(static_argnames=("L",))
 def decode_ldiag(sm_l, l=None, *, L):
     """MEA Nussinov decode; sm_l[dd, i] = score of pairing (i, i+dd).
 
@@ -114,7 +116,7 @@ def decode_ldiag(sm_l, l=None, *, L):
     return score, ss
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
+@aot.persistent_jit(static_argnames=("L",))
 def decode(sm, l=None, *, L):
     """Row-major convenience wrapper (converts layout on device, once)."""
     # one-time L^2 relayout per call; prefer decode_ldiag in hot loops

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dafs_tpu.utils import aot
+
 LOWEST = jnp.float32(np.finfo(np.float32).min)
 
 
@@ -61,7 +63,7 @@ def envelope(p: np.ndarray, th: float) -> np.ndarray:
     return env
 
 
-@functools.partial(jax.jit, static_argnames=("L1", "L2"))
+@aot.persistent_jit(static_argnames=("L1", "L2"))
 def decode(sm, env_first, env_last, l1=None, l2=None, *, L1, L2):
     """Banded MEA alignment decode.
 

@@ -23,6 +23,8 @@ from dafs_tpu.models import contralign_params as CP
 from dafs_tpu.ops.logspace import contra_fast_logplus as lse
 from dafs_tpu.ops.logspace import contra_fast_exp
 
+from dafs_tpu.utils import aot
+
 NEG = jnp.float32(-2e20)
 M_, IX, IY, I2X, I2Y = range(5)
 
@@ -52,7 +54,7 @@ def _shift_left(x, fill):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("l1max", "l2max"))
+@aot.persistent_jit(static_argnames=("l1max", "l2max"))
 def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     """Match posteriors for a batch of pairs; shapes as in ops/pairhmm.py."""
     t = {k: jnp.asarray(v) for k, v in _tables().items()}

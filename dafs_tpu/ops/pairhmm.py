@@ -27,6 +27,8 @@ import numpy as np
 from dafs_tpu.models import probcons_params as P
 from dafs_tpu.ops.logspace import LOG_ZERO, log_add, probcons_exp
 
+from dafs_tpu.utils import aot
+
 _TABLES = None
 
 
@@ -55,7 +57,7 @@ def _shift_left(x, fill):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("l1max", "l2max"))
+@aot.persistent_jit(static_argnames=("l1max", "l2max"))
 def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     """Compute match posteriors for a batch of sequence pairs.
 

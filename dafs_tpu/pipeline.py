@@ -324,6 +324,7 @@ class Dafs:
         # final common structure (src/dafs.cpp:1857-1873); use_alifold1_ is
         # always true in the reference
         p = self._avg_bp(aln, use_alifold=True)
+        _phase("final avg_bp (+alifold)")
         if self.o.use_bp_update1:
             ss0, str0 = self._decode_structure(p, self.o.th_s1)
             p = self._update_bp(p, ss0, str0, aln, use_alifold=True)

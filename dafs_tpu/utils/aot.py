@@ -1,0 +1,175 @@
+"""Persistent AOT trace cache (jax.export-backed).
+
+JAX's persistent compilation cache only skips XLA *compilation*; every new
+process still pays Python tracing + StableHLO lowering for each distinct
+input-shape signature (~5s per (length, group-size) shape for the big DP
+kernels here).  This module caches the *lowered* artifact too: the first call
+at a signature runs `jax.export.export` and writes the serialized module next
+to the compile cache; later processes deserialize (~1ms) and jump straight to
+the (persistently cached) executable.
+
+The cache key covers: jax version, backend platform, the kernel's module
+source hash (so edits invalidate), the static kwargs, and the pytree
+structure + shapes/dtypes of the dynamic arguments.  Array *values* (energy
+tables, posteriors, ...) are dynamic inputs — they are never baked into the
+artifact.
+
+No counterpart in the reference (it is a single C++ process; its "cache" is
+the compiled binary).  This is TPU-framework infrastructure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+import jax
+
+_mem: dict = {}
+_lock = threading.Lock()
+_srchash_memo: dict = {}
+
+
+def cache_dir() -> str:
+    d = os.environ.get(
+        "DAFS_TPU_AOT_CACHE",
+        os.path.join(
+            jax.config.jax_compilation_cache_dir or "/tmp/dafs_tpu_jax_cache",
+            "exports",
+        ),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _module_src_hash(modname: str) -> str:
+    h = _srchash_memo.get(modname)
+    if h is None:
+        import sys
+
+        mod = sys.modules.get(modname)
+        try:
+            with open(mod.__file__, "rb") as f:
+                h = hashlib.sha256(f.read()).hexdigest()[:16]
+        except Exception:
+            h = "nosrc"
+        _srchash_memo[modname] = h
+    return h
+
+
+def _sig_of(tree) -> str:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    parts = [str(treedef)]
+    for x in leaves:
+        if hasattr(x, "shape"):
+            parts.append(f"{getattr(x, 'dtype', type(x))}{tuple(x.shape)}")
+        else:
+            parts.append(repr(x))
+    return "|".join(parts)
+
+
+def persistent_jit(fn=None, *, static_argnames=(), deps=(), salt=""):
+    """Drop-in replacement for `jax.jit(fn, static_argnames=...)` that routes
+    top-level concrete calls through the persistent export cache.
+
+    - Static args MUST be passed as keyword arguments at call sites.
+    - Calls with tracer arguments (i.e. from inside another traced function,
+      vmap, or scan) fall through to the plain jitted function — the export
+      cache only applies at the top-level dispatch boundary.
+    - `deps`: extra module names whose source participates in the cache key
+      (the fn's own module and dafs_tpu.ops.energy_params always do).
+    """
+    if fn is None:
+        import functools as _ft
+
+        return _ft.partial(
+            persistent_jit, static_argnames=static_argnames, deps=deps,
+            salt=salt,
+        )
+    import functools as _ft
+
+    jitted = jax.jit(fn, static_argnames=static_argnames)
+    static_set = tuple(static_argnames)
+    dep_mods = tuple(deps) + ("dafs_tpu.ops.energy_params",)
+
+    @_ft.wraps(fn)
+    def wrapper(*args, **kwargs):
+        static = {k: kwargs.pop(k) for k in static_set if k in kwargs}
+        leaves = jax.tree_util.tree_leaves((args, kwargs))
+
+        def _no_aot(x):
+            # tracers: we're inside another traced computation; multi-device
+            # arrays: export would pin/replicate shardings — let pjit handle
+            if isinstance(x, jax.core.Tracer):
+                return True
+            if isinstance(x, jax.Array):
+                try:
+                    return len(x.sharding.device_set) > 1
+                except Exception:
+                    return True
+            return False
+
+        if os.environ.get("DAFS_TPU_NO_AOT") or any(map(_no_aot, leaves)):
+            return jitted(*args, **kwargs, **static)
+        dep_salt = salt + "|".join(_module_src_hash(m) for m in dep_mods)
+        return cached_call(
+            jitted, *args, static=static, salt=dep_salt, **kwargs
+        )
+
+    wrapper._jitted = jitted
+    return wrapper
+
+
+def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs):
+    """Call jitted `fn(*args, **static)` through the persistent export cache.
+
+    `fn` must be a `jax.jit`-wrapped function whose only non-array inputs are
+    the `static` kwargs.  Disable with DAFS_TPU_NO_AOT=1 (falls back to the
+    plain jitted call).
+    """
+    static = static or {}
+    if os.environ.get("DAFS_TPU_NO_AOT"):
+        return fn(*args, **kwargs, **static)
+    name = getattr(fn, "__qualname__", getattr(fn, "__name__", "fn"))
+    modname = getattr(fn, "__module__", "?")
+    backend = jax.default_backend()
+    keysrc = "\x00".join(
+        [
+            jax.__version__,
+            backend,
+            modname,
+            name,
+            _module_src_hash(modname),
+            repr(sorted(static.items())),
+            _sig_of((args, kwargs)),
+            salt,
+        ]
+    )
+    key = hashlib.sha256(keysrc.encode()).hexdigest()[:24]
+    exp = _mem.get(key)
+    if exp is None:
+        with _lock:
+            exp = _mem.get(key)
+            if exp is None:
+                path = os.path.join(
+                    cache_dir(), f"{name.replace('.', '_')}-{key}.jaxexp"
+                )
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        exp = jax.export.deserialize(f.read())
+                else:
+                    if static:
+                        import functools
+
+                        bound = jax.jit(functools.partial(fn, **static))
+                    else:
+                        bound = fn
+                    exp = jax.export.export(bound)(*args, **kwargs)
+                    data = exp.serialize()
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, path)
+                _mem[key] = exp
+    return exp.call(*args, **kwargs)
