@@ -15,5 +15,18 @@ structure prediction by dual decomposition, built TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("DAFS_TPU_NO_PRECISION_OVERRIDE"):
+    # The kernels contract f32 energy/probability tables through one-hot
+    # einsums; at DEFAULT precision TPU MXU dots round the table values to
+    # bfloat16 (~4e-3 relative), which is above the ~1e-3 level where the
+    # decoded alignment provably moves (see README "Known deviations").
+    # Force exact-f32 dots everywhere; kernels that are perf-critical opt
+    # into lower precision explicitly if ever safe.
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from dafs_tpu.fasta import Fasta, load_fasta  # noqa: F401
 from dafs_tpu.api import Result, align_and_fold  # noqa: F401

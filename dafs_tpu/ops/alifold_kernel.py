@@ -42,6 +42,14 @@ from dafs_tpu.utils import aot
 
 TURN = ep.TURN
 MAXLOOP = ep.MAXLOOP
+
+# perf-ablation switches (dev only): comma-separated in DAFS_TPU_ABLATE;
+# combine with DAFS_TPU_NO_AOT=1 so ablated traces never enter the AOT cache
+import os as _os
+
+_ABLATE = frozenset(
+    x for x in _os.environ.get("DAFS_TPU_ABLATE", "").split(",") if x
+)
 SW = MAXLOOP + 1   # stencil width (u, v in [0, 30])
 RP = 64            # top/bottom row padding of diag-major buffers (>= 62)
 PAD = 34           # column padding for static shift windows (>= SW + 2)
@@ -472,7 +480,12 @@ def alifold_fast(
             inst = INst[ci * NS : (ci + 1) * NS]        # (NS, SW, SW, Lp)
             return outr[:, None, None, :] * Tval * inst
 
-        K = cat("T_gen", 0) + cat("T_1n", 1) + cat("T_23", 2) + cat("T_blg", 3)
+        if "noA" in _ABLATE:
+            K = jnp.zeros((NS, SW, SW, INst.shape[-1]), f)
+        else:
+            K = cat("T_gen", 0) + cat("T_1n", 1) + cat("T_23", 2) + cat("T_blg", 3)
+        if "noB" in _ABLATE:
+            return K
 
         # B group: category masks from per-seq loop sizes
         U1l = Dl["U1"]
@@ -553,10 +566,13 @@ def alifold_fast(
                 jnp.einsum("sia,abc->sibc", oh175, Ti22),
             ),
         )
-        K = interior_K(d, U2, SQ1v, OUTrow, INst, TP2st, Dl)
-        Kp = jnp.prod(K, axis=0)                   # (SW, SW, Lp)
-        M2qb = stencil_in(QBL[None], d)[0]
-        interior = jnp.einsum("uvi,uvi,uv->i", M2qb, Kp, SCP)
+        if "noint" in _ABLATE:
+            interior = jnp.zeros((Lp,), f)
+        else:
+            K = interior_K(d, U2, SQ1v, OUTrow, INst, TP2st, Dl)
+            Kp = jnp.prod(K, axis=0)               # (SW, SW, Lp)
+            M2qb = stencil_in(QBL[None], d)[0]
+            interior = jnp.einsum("uvi,uvi,uv->i", M2qb, Kp, SCP)
 
         # multiloop closing (mccaskill_kernel.py pattern, consensus factors)
         qm_sh = jnp.zeros((Lp, Lp), f).at[: Lp - 1, 1:].set(qm[1:, : Lp - 1])
@@ -702,7 +718,10 @@ def alifold_fast(
             outst = OUTst[ci * NS : (ci + 1) * NS]
             return inr[:, None, None, :] * Tval * outst
 
-        K = catv("T_gen", 0) + catv("T_1n", 1) + catv("T_23", 2) + catv("T_blg", 3)
+        if "noA" in _ABLATE:
+            K = jnp.zeros((NS, SW, SW, Lp), f)
+        else:
+            K = catv("T_gen", 0) + catv("T_1n", 1) + catv("T_23", 2) + catv("T_blg", 3)
 
         m_u = [(U1o == a).astype(f) for a in range(3)]
         m_v = [(U2o == b).astype(f) for b in range(3)]
@@ -714,7 +733,7 @@ def alifold_fast(
         m11, m12, m21, m22 = mmk(1, 1), mmk(1, 2), mmk(2, 1), mmk(2, 2)
 
         Bv = jnp.zeros_like(K)
-        for t in range(7):
+        for t in range(7) if "noB" not in _ABLATE else ():
             sel = (TPst == t).astype(f)
             v_sb = Dstack_o[:, :, t][:, None, None, :] * (
                 m00 + blg1 * (m01 + m10)
@@ -738,9 +757,12 @@ def alifold_fast(
             Bv = Bv + sel * (
                 v_sb + E11 * m11 + Ea * m12 + Eb[:, :, None, :] * m21 + E2 * m22
             )
-        Kp = jnp.prod(K + Bv, axis=0) * PSCst
-        M2C = stencil_out(CL[None], d)[0]
-        w_int = jnp.einsum("uvi,uvi,uv->i", M2C, Kp, SCP)
+        if "noint" in _ABLATE:
+            w_int = jnp.zeros((Lp,), f)
+        else:
+            Kp = jnp.prod(K + Bv, axis=0) * PSCst
+            M2C = stencil_out(CL[None], d)[0]
+            w_int = jnp.einsum("uvi,uvi,uv->i", M2C, Kp, SCP)
 
         # multiloop outside (mccaskill_kernel.py pattern)
         qm_r = _dyn_rows(qm_rows_big, d + 1 + 4, Lp)

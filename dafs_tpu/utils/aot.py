@@ -138,6 +138,7 @@ def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs)
         [
             jax.__version__,
             backend,
+            str(jax.config.jax_default_matmul_precision),
             modname,
             name,
             _module_src_hash(modname),
