@@ -473,9 +473,17 @@ def alifold_fast(
         """
         OH31U2 = _oh(U2, SW)
         OH5SQ1v = _oh(SQ1v, 5)
-        # A group: sum over categories of out * T[u1,u2] * in
+        # A group: sum over categories of out * T[u1,u2] * in.
+        # All contractions against one-hot operands are explicit
+        # broadcast-multiply-reduces, NOT dots: exactly one term per sum is
+        # nonzero (bitwise order-independent), and XLA would otherwise pad
+        # each tiny batched 31x31x31 dot to 128^3 MXU tiles (~1% utilization
+        # -- measured ~7.7ms/dot/diagonal at L=300).
         def cat(kname, ci):
-            Tval = jnp.einsum("suib,svib->suvi", Dl["W1"][kname], OH31U2)
+            W = Dl["W1"][kname]                          # (NS, SW, Lp, 31)
+            Tval = jnp.sum(
+                W[:, :, None, :, :] * OH31U2[:, None, :, :, :], axis=-1
+            )                                            # (NS, SW, SW, Lp)
             outr = OUTrow[ci * NS : (ci + 1) * NS]      # (NS, Lp)
             inst = INst[ci * NS : (ci + 1) * NS]        # (NS, SW, SW, Lp)
             return outr[:, None, None, :] * Tval * inst
@@ -508,17 +516,16 @@ def alifold_fast(
                 + Dl["Di11"][:, :, t2][:, None, None, :] * m11
             )
             # i21a: inner (t2, sq1); no u-dependence
-            Ea = jnp.einsum(
-                "sviq,siq->svi", OH5SQ1v, Dl["Di21a"][:, :, t2 * 5 : t2 * 5 + 5]
-            )
+            Da = Dl["Di21a"][:, :, t2 * 5 : t2 * 5 + 5]  # (NS, Lp, 5)
+            Ea = jnp.sum(OH5SQ1v * Da[:, None, :, :], axis=-1)
             # i21b / i22: u-dependent (sp1) contractions
-            Eb = jnp.einsum(
-                "sviq,suiq->suvi", OH5SQ1v,
-                Dl["D21b"][:, :, :, t2 * 5 : t2 * 5 + 5],
+            Db = Dl["D21b"][:, :, :, t2 * 5 : t2 * 5 + 5]  # (NS, SW, Lp, 5)
+            Eb = jnp.sum(
+                OH5SQ1v[:, None, :, :, :] * Db[:, :, None, :, :], axis=-1
             )
-            E2 = jnp.einsum(
-                "sviq,suiq->suvi", OH5SQ1v,
-                Dl["D22"][:, :, :, t2 * 5 : t2 * 5 + 5],
+            D2 = Dl["D22"][:, :, :, t2 * 5 : t2 * 5 + 5]
+            E2 = jnp.sum(
+                OH5SQ1v[:, None, :, :, :] * D2[:, :, None, :, :], axis=-1
             )
             Bv = Bv + sel * (
                 v_sb + Ea[:, None, :, :] * m12 + Eb * m21 + E2 * m22
@@ -557,13 +564,13 @@ def alifold_fast(
             Dstack=jnp.einsum("sit,tc->sic", oh7, T7),
             Di11=jnp.einsum("sia,ac->sic", oh175, Ti11),
             Di21a=jnp.einsum("sia,ac->sic", oh175, Ti21a),
-            D21b=jnp.einsum(
-                "suib,sibc->suic", OH5SP1u,
-                jnp.einsum("sia,abc->sibc", oh35, Ti21b),
+            D21b=jnp.sum(
+                OH5SP1u[..., None]
+                * jnp.einsum("sia,abc->sibc", oh35, Ti21b)[:, None], axis=3
             ),
-            D22=jnp.einsum(
-                "suib,sibc->suic", OH5SP1u,
-                jnp.einsum("sia,abc->sibc", oh175, Ti22),
+            D22=jnp.sum(
+                OH5SP1u[..., None]
+                * jnp.einsum("sia,abc->sibc", oh175, Ti22)[:, None], axis=3
             ),
         )
         if "noint" in _ABLATE:
@@ -713,7 +720,10 @@ def alifold_fast(
         D22_o = jnp.einsum("sim,cm->sic", oh175in, Ti22_o)    # (NS, Lp, 175)
 
         def catv(kname, ci):
-            Tval = jnp.einsum("suib,svib->suvi", W1o[kname], OH31U2o)
+            W = W1o[kname]                               # (NS, SW, Lp, 31)
+            Tval = jnp.sum(
+                W[:, :, None, :, :] * OH31U2o[:, None, :, :, :], axis=-1
+            )
             inr = INrow[ci * NS : (ci + 1) * NS]
             outst = OUTst[ci * NS : (ci + 1) * NS]
             return inr[:, None, None, :] * Tval * outst
@@ -738,22 +748,28 @@ def alifold_fast(
             v_sb = Dstack_o[:, :, t][:, None, None, :] * (
                 m00 + blg1 * (m01 + m10)
             )
-            # i11/i21a: stencil (t, si1, sj1) staged via (b, c)
+            # i11/i21a: stencil (t, si1, sj1) staged via (b, c); all one-hot
+            # contractions as explicit broadcast-reduces (see cat())
+            def _ec(Dv):  # (s,v,i,b) = sum_c OH5SJ1ov[s,v,i,c] * Dv[s,i,b,c]
+                return jnp.sum(
+                    OH5SJ1ov[:, :, :, None, :] * Dv[:, None, :, :, :], axis=-1
+                )
+
+            def _eu(Ec):  # (s,u,v,i) = sum_b OH5SI1ou[s,u,i,b] * Ec[s,v,i,b]
+                return jnp.sum(
+                    OH5SI1ou[:, :, None, :, :] * Ec[:, None, :, :, :], axis=-1
+                )
+
             Dv11 = Di11_o[:, :, t * 25 : (t + 1) * 25].reshape(NS, Lp, 5, 5)
-            Ec11 = jnp.einsum("svic,sibc->svib", OH5SJ1ov, Dv11)
-            E11 = jnp.einsum("suib,svib->suvi", OH5SI1ou, Ec11)
+            E11 = _eu(_ec(Dv11))
             Dva = Di21a_o[:, :, t * 25 : (t + 1) * 25].reshape(NS, Lp, 5, 5)
-            Eca = jnp.einsum("svic,sibc->svib", OH5SJ1ov, Dva)
-            Ea = jnp.einsum("suib,svib->suvi", OH5SI1ou, Eca)
+            Ea = _eu(_ec(Dva))
             # i21b: stencil (t, si1) only
-            Eb = jnp.einsum(
-                "suib,sib->sui", OH5SI1ou,
-                D21b_o[:, :, t * 5 : t * 5 + 5],
-            )
+            Db_o = D21b_o[:, :, t * 5 : t * 5 + 5]       # (NS, Lp, 5)
+            Eb = jnp.sum(OH5SI1ou * Db_o[:, None, :, :], axis=-1)
             # i22: stencil (t, si1, sj1)
             Dv2 = D22_o[:, :, t * 25 : (t + 1) * 25].reshape(NS, Lp, 5, 5)
-            Ec2 = jnp.einsum("svic,sibc->svib", OH5SJ1ov, Dv2)
-            E2 = jnp.einsum("suib,svib->suvi", OH5SI1ou, Ec2)
+            E2 = _eu(_ec(Dv2))
             Bv = Bv + sel * (
                 v_sb + E11 * m11 + Ea * m12 + Eb[:, :, None, :] * m21 + E2 * m22
             )
