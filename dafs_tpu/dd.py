@@ -392,11 +392,16 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
     return float(s_prev), x, y, z
 
 
-def solve_by_ip(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0=None, t_max=None):
+def solve_by_ip(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0=None, t_max=None,
+                fix_z=None):
     """Exact joint ILP (DAFS::solve_by_ip, src/dafs.cpp:1297-1497), reached
     with -m 0.  Variables x_ij, y_kl, z_ik, w_ijkl; constraints: at most one
     partner per base, no pseudoknots, no crossing matches, consensus coupling.
-    Solved with scipy's HiGHS milp."""
+    Solved with scipy's HiGHS milp.
+
+    fix_z: optional set of (i, k) cells; when given, every z variable is
+    pinned (1 if in the set, 0 otherwise) — diagnostic seam for scoring a
+    known matching (tools/merge_diagnose.py)."""
     from scipy import sparse as sp
     from scipy.optimize import LinearConstraint, milp
 
@@ -499,6 +504,11 @@ def solve_by_ip(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0=None, t_max=None):
     for kl, v in v_y.items():
         if kl not in by_y:
             add([(v, 1.0)], 0.0, 0.0)
+
+    if fix_z is not None:
+        for ik, v in v_z.items():
+            val = 1.0 if ik in fix_z else 0.0
+            add([(v, 1.0)], val, val)
 
     if nv == 0:
         return (

@@ -157,6 +157,22 @@ def bl_tables() -> dict:
 # BL* tables where Turner-2004 values have not been transcribed yet and is
 # marked experimental in the CLI docs.
 
+# Experiment seam: overrides applied on top of the assembled parameter set
+# (energies in dcal).  Used by tools/table_sensitivity.py to probe which of
+# the reconstructed (non-BL*) tables the end-to-end output depends on.
+PARAM_OVERRIDES: dict = {}
+
+
+def set_param_overrides(over: dict) -> None:
+    """Replace PARAM_OVERRIDES and clear every downstream table cache."""
+    global PARAM_OVERRIDES
+    PARAM_OVERRIDES = dict(over)
+    from dafs_tpu.ops import alifold, mccaskill
+
+    mccaskill._EXP_CACHE.clear()
+    mccaskill._FAST_TABLES.clear()
+    alifold._EXP_CACHE.clear()
+
 
 def params(bl: bool = True) -> dict:
     """Assemble the integer parameter set (dcal/mol)."""
@@ -190,6 +206,7 @@ def params(bl: bool = True) -> dict:
         "triloops": TRILOOPS_T04,
         "hexaloops": HEXALOOPS_T04,
     }
+    p.update(PARAM_OVERRIDES)
     return p
 
 
