@@ -17,6 +17,7 @@ wavefront of ops/mccaskill.py extended with
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,20 @@ DM = np.array(
 )
 
 _EXP_CACHE: dict = {}
+
+
+def _special_hp() -> bool:
+    """Whether the comparative hairpin applies tri/tetra/hexaloop bonuses
+    (open ViennaRNA-2.4.18 reading; default on).  Toggle with
+    DAFS_TPU_ALIFOLD_SPECIAL_HP=0."""
+    return os.environ.get("DAFS_TPU_ALIFOLD_SPECIAL_HP", "1") != "0"
+
+
+def _mlbase_per_base() -> bool:
+    """ML unpaired cost per non-gap base (expMLbase**count[col], gap columns
+    free for gapped sequences) instead of per column (expMLbase**n_seq, the
+    alipfold.c reading; default).  Toggle with DAFS_TPU_ALIFOLD_MLBASE=base."""
+    return os.environ.get("DAFS_TPU_ALIFOLD_MLBASE", "col") == "base"
 
 
 def _tables(bl: bool, nseq: int = 1) -> dict:
@@ -482,7 +497,8 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         from dafs_tpu.ops import mccaskill
 
         pm = mccaskill.bp_posterior_fast(seqs[0], th, bl=bl,
-                                         constraint=constraint)
+                                         constraint=constraint,
+                                         special_hp=_special_hp())
         pm[pm <= 1e-6] = 0.0
         return pm
     t = _tables(bl, nseq)
@@ -580,6 +596,14 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
                         arr[s_i, i] = v
                     else:
                         arr[s_i, i] = 0
+
+    if not _special_hp():
+        # open 2.4.18 question (STATUS.md "fold parity"): whether the
+        # comparative hairpin eval applies tri/tetra/hexaloop bonuses.
+        # Code 0 = the all-A k-mer, absent from every bonus table.
+        tri_code[:] = 0
+        tetra_code[:] = 0
+        hexa_code[:] = 0
 
     f32 = np.float32
     tab = {
@@ -689,7 +713,11 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         au_j = jnp.asarray(allow_unpaired)
         # per-column ML base factor uses the TRUE sequence count (the pad
         # rows are neutral and must not enter expMLbase^n_seq)
-        bsn0 = jnp.float32(np.float32(t["ml_base"]) ** nseq)
+        if _mlbase_per_base():
+            cnt = (S > 0).sum(axis=0).astype(np.float32)  # non-gap seqs per col
+            bsn0 = jnp.asarray(np.float32(t["ml_base"]) ** cnt)
+        else:
+            bsn0 = jnp.float32(np.float32(t["ml_base"]) ** nseq)
         for _ in range(24):
             # alifold_fast goes through the persistent AOT trace cache
             # (utils/aot.py): warm processes skip ~5s/shape of tracing

@@ -321,6 +321,10 @@ def alifold_fast(
     NROWS = Lp + 2 * RP
     idx = jnp.arange(Lp)
     ii = idx
+    # bsn0 may be a scalar (expMLbase**NS, the alipfold.c per-column reading)
+    # or an (Lp,) per-column vector (expMLbase**(non-gap count), the gap-aware
+    # reading; DAFS_TPU_ALIFOLD_MLBASE=base) — see consensus_bp.
+    vector_bsn = getattr(bsn0, "ndim", 0) == 1
     bsn = bsn0 * sc
 
     # ---- diag-major conversions (one-time iota gathers) -------------------
@@ -415,9 +419,15 @@ def alifold_fast(
     blocked_pref = jnp.cumsum(jnp.where(idx >= 1, 1.0 - logv, 0.0))
     seg_len = idx[None, :] - idx[:, None] + 1
     seg_blocked = blocked_pref[None, :] - blocked_pref[jnp.maximum(idx[:, None] - 1, 0)]
+    if vector_bsn:
+        # product over the segment's per-column factors via log prefix sums
+        lb = jnp.cumsum(jnp.where(idx >= 1, jnp.log(jnp.maximum(bsn, 1e-30)), 0.0))
+        seg_pow = jnp.exp(lb[None, :] - lb[jnp.maximum(idx[:, None] - 1, 0)])
+    else:
+        seg_pow = bsn ** seg_len.astype(f)
     bs_seg = jnp.where(
         seg_len <= 0, 1.0,
-        jnp.where(seg_blocked > 0, 0.0, bsn ** seg_len.astype(f)),
+        jnp.where(seg_blocked > 0, 0.0, seg_pow),
     )
 
     def pad_rows(x, top, bottom):
@@ -595,9 +605,10 @@ def alifold_fast(
         )
 
         gate_j = jnp.where((j_vec <= n) & allow_unpaired[jc], 1.0, 0.0)
+        bsn_j = bsn[jc] if vector_bsn else bsn
         qm1_new = jnp.where(
             cell_ok,
-            qm1_prev * bsn * gate_j + qb_new * ldiag_row(MLSTEML, d),
+            qm1_prev * bsn_j * gate_j + qb_new * ldiag_row(MLSTEML, d),
             0.0,
         )
         # diagonal writes as mask-selects: TPU lowers scatters to slow

@@ -901,8 +901,12 @@ def _fast_tabs(bl: bool):
     return _FAST_TABLES[bl]
 
 
-def bp_posterior_fast(seq: str, th: float, bl: bool = True, constraint=None):
-    """Gather-free kernel path; numerically equivalent to bp_posterior."""
+def bp_posterior_fast(seq: str, th: float, bl: bool = True, constraint=None,
+                      special_hp: bool = True):
+    """Gather-free kernel path; numerically equivalent to bp_posterior.
+
+    special_hp=False disables tri/tetra/hexaloop bonuses (the alifold
+    single-sequence route under DAFS_TPU_ALIFOLD_SPECIAL_HP=0)."""
     from dafs_tpu.ops import mccaskill_kernel as MK
 
     base = _fast_tabs(bl)
@@ -910,9 +914,10 @@ def bp_posterior_fast(seq: str, th: float, bl: bool = True, constraint=None):
     L = _round_up(n, 32)
     s, pt, allow_pair, allow_unpaired = _prepare(seq, L, constraint)
     tabs = dict(base)
-    tabs["tri_code"] = jnp.asarray(_kmer_codes(s, 5, L))
-    tabs["tetra_code"] = jnp.asarray(_kmer_codes(s, 6, L))
-    tabs["hexa_code"] = jnp.asarray(_kmer_codes(s, 8, L))
+    zc = np.zeros(L + 2, np.int32)
+    tabs["tri_code"] = jnp.asarray(_kmer_codes(s, 5, L) if special_hp else zc)
+    tabs["tetra_code"] = jnp.asarray(_kmer_codes(s, 6, L) if special_hp else zc)
+    tabs["hexa_code"] = jnp.asarray(_kmer_codes(s, 8, L) if special_hp else zc)
 
     f32 = np.float32
     sc = f32(np.exp(-0.6))
