@@ -89,8 +89,8 @@ def _dd_device(
 
         sm_x = w_x * (p_x - th_s0) - q_x
         sm_y = w_y * (p_y - th_s0) - q_y
-        s_x, x = nussinov.decode(sm_x, l1, L=L1)
-        s_y, y = nussinov.decode(sm_y, l2, L=L2)
+        s_x, x = nussinov.decode_traced(sm_x, l1, L=L1)
+        s_y, y = nussinov.decode_traced(sm_y, l2, L=L2)
         sm_z = p_z - th_a + q_z
         s_z, z = nw.decode(sm_z, env_first, env_last, l1, l2, L1=L1, L2=L2)
         s = s_x + s_y + s_z

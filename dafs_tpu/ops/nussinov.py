@@ -36,15 +36,12 @@ def to_ldiag(sm: np.ndarray) -> np.ndarray:
     return out
 
 
-@aot.persistent_jit(static_argnames=("L",))
-def decode_ldiag(sm_l, l=None, *, L):
+def _decode_ldiag_impl(sm_l, l, *, L):
     """MEA Nussinov decode; sm_l[dd, i] = score of pairing (i, i+dd).
 
     Padding cells (i or i+dd >= l) must score <= 0 so no pair lands there.
     Returns (score, ss) with ss (L,) int32, -1 = unpaired.
     """
-    if l is None:
-        l = L
     ii = jnp.arange(L)
 
     # height 3L: rows [0, 2L) hold spans (2L-1-row); rows [2L, 3L) are
@@ -117,14 +114,48 @@ def decode_ldiag(sm_l, l=None, *, L):
 
 
 @aot.persistent_jit(static_argnames=("L",))
-def decode(sm, l=None, *, L):
-    """Row-major convenience wrapper (converts layout on device, once)."""
-    # one-time L^2 relayout per call; prefer decode_ldiag in hot loops
+def decode_ldiag(sm_l, l=None, *, L):
+    if l is None:
+        l = L
+    return _decode_ldiag_impl(sm_l, l, L=L)
+
+
+def _to_ldiag_dev(sm, L):
     dd_g = jnp.arange(L)[:, None]
     colg = jnp.clip(jnp.arange(L)[None, :] + dd_g, 0, L - 1)
     inb = (jnp.arange(L)[None, :] + dd_g) <= (L - 1)
-    sm_l = jnp.where(inb, sm[jnp.arange(L)[None, :], colg], NEG)
-    return decode_ldiag(sm_l, l, L=L)
+    return jnp.where(inb, sm[jnp.arange(L)[None, :], colg], NEG)
+
+
+@aot.persistent_jit(static_argnames=("L",))
+def decode(sm, l=None, *, L):
+    """Row-major convenience wrapper (converts layout on device, once)."""
+    # one-time L^2 relayout per call; prefer decode_ldiag in hot loops
+    if l is None:
+        l = L
+    return _decode_ldiag_impl(_to_ldiag_dev(sm, L), l, L=L)
+
+
+# NOTE: a vmapped batched decode was tried for the DD loop's x/y subproblems
+# and measured SLOWER than two sequential calls (14ms vs 9ms at L=384): the
+# vmapped dynamic-slice scan and switch-based traceback lower poorly on TPU.
+# The wavefront cost is per-step HBM latency; the fix is the Pallas kernel
+# (ops/nussinov_pallas.py, VMEM-resident DP; 1.3-3.5x at L=96-384).
+
+
+def decode_traced(sm, l, *, L):
+    """Backend-dispatched decode for use INSIDE an enclosing jit trace
+    (e.g. the DD while_loop body): Pallas kernel on TPU, lax.scan elsewhere.
+    Both paths are bit-identical (tests/test_decoders.py).  Set
+    DAFS_TPU_NUSSINOV_PALLAS=0 to force the lax path (perf ablation)."""
+    import os
+
+    use_pallas = os.environ.get("DAFS_TPU_NUSSINOV_PALLAS", "1") != "0"
+    if use_pallas and jax.default_backend() == "tpu":
+        from dafs_tpu.ops import nussinov_pallas
+
+        return nussinov_pallas.decode_traced(sm, l, L=L)
+    return _decode_ldiag_impl(_to_ldiag_dev(sm, L), l, L=L)
 
 
 def _traceback(codes, l, L):

@@ -58,6 +58,33 @@ def _module_src_hash(modname: str) -> str:
     return h
 
 
+def _package_src_hash() -> str:
+    """Hash of every .py source in the dafs_tpu package.
+
+    Traced functions call freely across modules (dd -> nussinov/nw, models ->
+    kernels, ...), so per-module hashing under-invalidates: an edit to a
+    callee would silently serve the caller's stale export.  Hashing the whole
+    package over-invalidates (any edit retraces everything once per shape),
+    which is the safe direction."""
+    h = _srchash_memo.get("__package__")
+    if h is None:
+        import dafs_tpu
+
+        root = os.path.dirname(os.path.abspath(dafs_tpu.__file__))
+        sha = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    sha.update(p.encode())
+                    with open(p, "rb") as f:
+                        sha.update(f.read())
+        h = sha.hexdigest()[:16]
+        _srchash_memo["__package__"] = h
+    return h
+
+
 def _sig_of(tree) -> str:
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     parts = [str(treedef)]
@@ -134,6 +161,17 @@ def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs)
     name = getattr(fn, "__qualname__", getattr(fn, "__name__", "fn"))
     modname = getattr(fn, "__module__", "?")
     backend = jax.default_backend()
+    # Env knobs (kernel ablations, alifold semantics, backend dispatch) are
+    # read at TRACE time, so they are part of the artifact's identity; a key
+    # without them would serve an artifact traced under different semantics.
+    env_knobs = repr(
+        sorted(
+            (k, v)
+            for k, v in os.environ.items()
+            if k.startswith("DAFS_TPU_")
+            and k not in ("DAFS_TPU_AOT_CACHE", "DAFS_TPU_COMPILE_CACHE")
+        )
+    )
     keysrc = "\x00".join(
         [
             jax.__version__,
@@ -141,9 +179,10 @@ def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs)
             str(jax.config.jax_default_matmul_precision),
             modname,
             name,
-            _module_src_hash(modname),
+            _package_src_hash(),
             repr(sorted(static.items())),
             _sig_of((args, kwargs)),
+            env_knobs,
             salt,
         ]
     )

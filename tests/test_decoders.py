@@ -114,3 +114,35 @@ def test_sparse_nw_padded_equals_unpadded(seed):
     )
     assert float(s0) == float(s1)
     np.testing.assert_array_equal(np.asarray(al0), np.asarray(al1)[:L1])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nussinov_pallas_matches_lax(seed):
+    """Pallas kernel (interpret mode) bit-identical to the lax.scan decode."""
+    from dafs_tpu.ops import nussinov_pallas
+
+    rng = np.random.default_rng(seed + 300)
+    L = int(rng.integers(8, 48))
+    p = _random_bp_matrix(rng, L)
+    q = (rng.random((L, L)) * 0.2).astype(np.float32)
+    sm = np.float32(4.0 * (p - 0.2) - q)
+    s0, ss0 = nussinov.decode(jnp.asarray(sm), L=L)
+    s1, ss1 = nussinov_pallas.decode(jnp.asarray(sm), L=L, interpret=True)
+    assert float(s0) == float(s1)
+    np.testing.assert_array_equal(np.asarray(ss0), np.asarray(ss1))
+
+
+def test_nussinov_pallas_padded(seed=0):
+    from dafs_tpu.ops import nussinov_pallas
+
+    rng = np.random.default_rng(seed + 400)
+    L, Lpad = 20, 37
+    p = _random_bp_matrix(rng, L)
+    sm = np.float32(4.0 * (p - 0.2))
+    smp = np.full((Lpad, Lpad), np.float32(4.0 * (0.0 - 0.2)))
+    smp[:L, :L] = sm
+    s0, ss0 = nussinov.decode(jnp.asarray(sm), L=L)
+    s1, ss1 = nussinov_pallas.decode(jnp.asarray(smp), jnp.int32(L), L=Lpad,
+                                     interpret=True)
+    assert float(s0) == float(s1)
+    np.testing.assert_array_equal(np.asarray(ss0), np.asarray(ss1)[:L])
