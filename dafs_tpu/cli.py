@@ -125,7 +125,11 @@ def main(argv=None) -> int:
         "jax_compilation_cache_dir",
         os.environ.get("DAFS_TPU_COMPILE_CACHE", "/tmp/dafs_tpu_jax_cache"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # NOTE: leave jax_persistent_cache_min_compile_time_secs at its default
+    # (1s).  Setting it to 0 makes the cache serialize EVERY executable; on
+    # the TPU backend, executable serialization of the big DP kernels is
+    # pathologically slow (measured: first fold call 444s vs 2.3s, 2026-08).
+    # Sub-second compiles are cheap to redo; caching them costs minutes.
 
     # keep the CPU backend available alongside the accelerator (the alifold
     # kernel currently prefers it; see ops/alifold.py)
