@@ -84,6 +84,24 @@ def _dd_device(
     ii1 = jnp.arange(L1)
     ii2 = jnp.arange(L2)
 
+    # One-hot selector matrices over the candidate list, built ONCE outside
+    # the while_loop.  Inside the loop, every gather q[ci, cj] becomes
+    # (Pci @ q * Pcj).sum(1) (exactly one nonzero per row -> bitwise equal to
+    # the gather) and every scatter-add count becomes an MXU matmul; TPU
+    # lowers gather/scatter over U ~ 10^3 indices to serialized loops, which
+    # dominated the DD iteration before this change.
+    f32 = jnp.float32
+    Pci = (ci[:, None] == ii1[None, :]).astype(f32)   # (U, L1)
+    Pcj = (cj[:, None] == ii1[None, :]).astype(f32)
+    Pck = (ck[:, None] == ii2[None, :]).astype(f32)
+    Pcl = (cl[:, None] == ii2[None, :]).astype(f32)
+    prec = jax.lax.Precision.HIGHEST
+
+    def _pick(P_r, q, P_c):
+        return jnp.sum(
+            jnp.dot(P_r, q, precision=prec) * P_c, axis=1
+        )
+
     def body(state):
         (q_x, q_y, q_z, eta, c, s_prev, _, t, _, _, _, done, opt) = state
 
@@ -92,32 +110,29 @@ def _dd_device(
         s_x, x = nussinov.decode_traced(sm_x, l1, L=L1)
         s_y, y = nussinov.decode_traced(sm_y, l2, L=L2)
         sm_z = p_z - th_a + q_z
-        s_z, z = nw.decode(sm_z, env_first, env_last, l1, l2, L1=L1, L2=L2)
+        s_z, z = nw.decode_traced(sm_z, env_first, env_last, l1, l2, L1=L1, L2=L2)
         s = s_x + s_y + s_z
 
         # violation counts over consensus candidates (src/dafs.cpp:1103-1117)
-        s_w = q_x[ci, cj] + q_y[ck, cl] - q_z[ci, ck] - q_z[cj, cl]
+        s_w = (
+            _pick(Pci, q_x, Pcj) + _pick(Pck, q_y, Pcl)
+            - _pick(Pci, q_z, Pck) - _pick(Pcj, q_z, Pcl)
+        )
         active = (s_w > 0.0) & cbp_valid
         s = s + jnp.sum(jnp.where(active, s_w, 0.0))
-        a32 = active.astype(jnp.int32)
-        t_x = jnp.zeros((L1, L1), jnp.int32).at[ci, cj].add(a32)
-        t_y = jnp.zeros((L2, L2), jnp.int32).at[ck, cl].add(a32)
+        af = active.astype(f32)
+        # counts as one-hot matmuls: exact small-integer sums in f32
+        t_x = jnp.dot(Pci.T * af[None, :], Pcj, precision=prec).astype(jnp.int32)
+        t_y = jnp.dot(Pck.T * af[None, :], Pcl, precision=prec).astype(jnp.int32)
         t_z = (
-            jnp.zeros((L1, L2), jnp.int32)
-            .at[ci, ck].add(a32)
-            .at[cj, cl].add(a32)
-        )
+            jnp.dot(Pci.T * af[None, :], Pck, precision=prec)
+            + jnp.dot(Pcj.T * af[None, :], Pcl, precision=prec)
+        ).astype(jnp.int32)
 
         # multiplier updates (sparse branch src/dafs.cpp:1120-1254, dense form)
-        X = jnp.zeros((L1, L1), jnp.int32).at[ii1, jnp.clip(x, 0, L1 - 1)].add(
-            (x >= 0).astype(jnp.int32)
-        )
-        Y = jnp.zeros((L2, L2), jnp.int32).at[ii2, jnp.clip(y, 0, L2 - 1)].add(
-            (y >= 0).astype(jnp.int32)
-        )
-        Z = jnp.zeros((L1, L2), jnp.int32).at[ii1, jnp.clip(z, 0, L2 - 1)].add(
-            (z >= 0).astype(jnp.int32)
-        )
+        X = ((x[:, None] == ii1[None, :]) & (x >= 0)[:, None]).astype(jnp.int32)
+        Y = ((y[:, None] == ii2[None, :]) & (y >= 0)[:, None]).astype(jnp.int32)
+        Z = ((z[:, None] == ii2[None, :]) & (z >= 0)[:, None]).astype(jnp.int32)
 
         dx = (t_x - X).astype(jnp.float32)
         mx = (X > 0) | in_cx

@@ -129,11 +129,13 @@ def _to_ldiag_dev(sm, L):
 
 @aot.persistent_jit(static_argnames=("L",))
 def decode(sm, l=None, *, L):
-    """Row-major convenience wrapper (converts layout on device, once)."""
-    # one-time L^2 relayout per call; prefer decode_ldiag in hot loops
+    """Row-major convenience wrapper (converts layout on device, once).
+
+    Dispatches to the Pallas kernel on TPU (in-kernel traceback), the
+    lax.scan path elsewhere — both bit-identical (tests/test_decoders.py)."""
     if l is None:
         l = L
-    return _decode_ldiag_impl(_to_ldiag_dev(sm, L), l, L=L)
+    return decode_traced(sm, l, L=L)
 
 
 # NOTE: a vmapped batched decode was tried for the DD loop's x/y subproblems

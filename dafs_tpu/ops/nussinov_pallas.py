@@ -25,8 +25,12 @@ dynamic *sublane* offsets are fine):
   down(i+1,j) > left(i,j-1) > pair > bifurcation with smallest span r >= 3
   (== largest split k), first strict max wins.
 
-The traceback stays outside (ops/nussinov._traceback): its stack loop is
-cheap and identical for both paths.
+The traceback ALSO runs inside the kernel (same stack algorithm as
+ops/nussinov._traceback, stack in SMEM, ss as a lane vector): as an XLA
+while_loop it costs ~5us per pop (one fused micro-kernel launch each), i.e.
+~3 ms at L=320 — 50x the DP kernel itself and the dominant cost of every
+DD iteration (src/dafs.cpp:1087-1291 decodes 3 structures per iteration).
+In-kernel the pops are hardware loop iterations.
 """
 
 from __future__ import annotations
@@ -48,8 +52,8 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-def _kernel(l_ref, sml_ref, score_ref, codes_ref, dp_ref, m_ref, vp_ref, vp2_ref,
-            *, L, LP):
+def _kernel(l_ref, sml_ref, score_ref, codes_ref, ss_ref, dp_ref, m_ref,
+            vp_ref, vp2_ref, stack_ref, *, L, LP):
     f = jnp.float32
     neg = f(NEG)
     # dynamic-sublane-roll window height; Mosaic's dynamic_rotate needs the
@@ -152,6 +156,52 @@ def _kernel(l_ref, sml_ref, score_ref, codes_ref, dp_ref, m_ref, vp_ref, vp2_ref
     row0 = dp_ref[pl.ds(0, 1), :]
     score_ref[0, 0] = jnp.sum(jnp.where(lane == lend - 1, row0, 0.0))
 
+    # ---- in-kernel traceback (mirrors ops/nussinov._traceback) ----------
+    # stack of (i, j) segments in SMEM; each fori step pops at most one
+    # entry (guarded no-op once the stack empties; total pops <= 2L)
+    ss_ref[:] = jnp.full((1, LP), -1, jnp.int32)
+    stack_ref[0, 0] = jnp.int32(0)
+    stack_ref[0, 1] = lend - 1
+
+    def tb_body(t, sp):
+        i = stack_ref[jnp.maximum(sp - 1, 0), 0]
+        j = stack_ref[jnp.maximum(sp - 1, 0), 1]
+        dd = j - i
+        crow = codes_ref[pl.ds(jnp.maximum(dd - 1, 0), 1), :]
+        c = jnp.sum(jnp.where(lane == i, crow, 0))
+        c = jnp.where((dd >= 1) & (sp > 0), c, 0)
+
+        k = i + c - 3
+        # pair record: code 3 marks (i, j); code >= 4 marks (k, j)
+        tgt = jnp.where(c >= 4, k, i)
+        mark = (c == 3) | (c >= 4)
+        ss_ref[:] = jnp.where((lane == tgt) & mark, j, ss_ref[:])
+
+        # pushes: c==1 -> (i+1, j); c==2 -> (i, j-1); c==3 -> (i+1, j-1);
+        # c>=4 -> (i, k-1) then (k+1, j-1)
+        a1 = jnp.where(c == 1, i + 1,
+                       jnp.where(c == 2, i,
+                                 jnp.where(c == 3, i + 1, i)))
+        b1 = jnp.where(c == 1, j,
+                       jnp.where(c == 2, j - 1,
+                                 jnp.where(c == 3, j - 1, k - 1)))
+        npush = jnp.where(c == 0, 0, jnp.where(c >= 4, 2, 1))
+        sp_new = jnp.where(sp > 0, sp - 1 + npush, sp)
+
+        @pl.when((sp > 0) & (npush >= 1))
+        def _():
+            stack_ref[sp - 1, 0] = a1
+            stack_ref[sp - 1, 1] = b1
+
+        @pl.when((sp > 0) & (npush == 2))
+        def _():
+            stack_ref[sp, 0] = k + 1
+            stack_ref[sp, 1] = j - 1
+
+        return sp_new
+
+    jax.lax.fori_loop(0, 2 * L + 2, tb_body, jnp.int32(1))
+
 
 @functools.partial(jax.jit, static_argnames=("L", "interpret"))
 def _decode_pallas_ldiag(sm_l, l, *, L, interpret=False):
@@ -163,11 +213,12 @@ def _decode_pallas_ldiag(sm_l, l, *, L, interpret=False):
     LP = _round_up(L, 128)
     sml = jnp.zeros((L, LP), jnp.float32).at[:, :L].set(sm_l)
     l_arr = jnp.asarray(l, jnp.int32).reshape(1, 1)
-    score, codes = pl.pallas_call(
+    score, codes, ss = pl.pallas_call(
         functools.partial(_kernel, L=L, LP=LP),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((L, LP), jnp.int32),
+            jax.ShapeDtypeStruct((1, LP), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -176,6 +227,7 @@ def _decode_pallas_ldiag(sm_l, l, *, L, interpret=False):
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((L, LP), jnp.float32),          # DP (start-major)
@@ -183,12 +235,11 @@ def _decode_pallas_ldiag(sm_l, l, *, L, interpret=False):
             pltpu.VMEM((_round_up(L, 8) + _round_up(L + 8, 8), LP), jnp.float32),
             pltpu.VMEM((1, LP), jnp.float32),      # dp diag ld-1
             pltpu.VMEM((1, LP), jnp.float32),      # dp diag ld-2
+            pltpu.SMEM((2 * L + 4, 2), jnp.int32),  # traceback stack
         ],
         interpret=interpret,
     )(l_arr, sml)
-    # match _kernel's out order: score_ref is out 0? pallas returns in
-    # out_shape order: (score, codes)
-    return score[0, 0], codes[:, :L]
+    return score[0, 0], codes[:, :L], ss[0, :L]
 
 
 def decode(sm, l=None, *, L, interpret=False):
@@ -198,10 +249,7 @@ def decode(sm, l=None, *, L, interpret=False):
     if l is None:
         l = L
     sm_l = _n._to_ldiag_dev(sm, L)
-    score, codes = _decode_pallas_ldiag(sm_l, l, L=L, interpret=interpret)
-    # codes rows: kernel wrote row ld-1 for ld in [1, L); lax path's codes
-    # array is (L-1, L)
-    ss = _n._traceback(codes[: L - 1], l, L)
+    score, _codes, ss = _decode_pallas_ldiag(sm_l, l, L=L, interpret=interpret)
     return score, ss
 
 

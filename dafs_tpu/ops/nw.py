@@ -63,6 +63,22 @@ def envelope(p: np.ndarray, th: float) -> np.ndarray:
     return env
 
 
+def decode_traced(sm, env_first, env_last, l1=None, l2=None, *, L1, L2):
+    """Backend-dispatched decode for use INSIDE an enclosing jit trace
+    (e.g. the DD while_loop body): Pallas kernel on TPU (DP rows and the
+    traceback both run in one Mosaic kernel), lax.scan + XLA while_loop
+    elsewhere.  Both paths are bit-identical (tests/test_decoders.py).
+    Set DAFS_TPU_NW_PALLAS=0 to force the lax path (perf ablation)."""
+    import os
+
+    use_pallas = os.environ.get("DAFS_TPU_NW_PALLAS", "1") != "0"
+    if use_pallas and jax.default_backend() == "tpu":
+        from dafs_tpu.ops import nw_pallas
+
+        return nw_pallas.decode(sm, env_first, env_last, l1, l2, L1=L1, L2=L2)
+    return _decode_impl(sm, env_first, env_last, l1, l2, L1=L1, L2=L2)
+
+
 @aot.persistent_jit(static_argnames=("L1", "L2"))
 def decode(sm, env_first, env_last, l1=None, l2=None, *, L1, L2):
     """Banded MEA alignment decode.
@@ -80,6 +96,10 @@ def decode(sm, env_first, env_last, l1=None, l2=None, *, L1, L2):
       (score, al): score = dp[l1][l2]; al (L1,) int32 with al[i] = matched
       column in seq2 or -1.
     """
+    return _decode_impl(sm, env_first, env_last, l1, l2, L1=L1, L2=L2)
+
+
+def _decode_impl(sm, env_first, env_last, l1=None, l2=None, *, L1, L2):
     if l1 is None:
         l1 = L1
     if l2 is None:

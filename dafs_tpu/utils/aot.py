@@ -187,11 +187,11 @@ def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs)
         ]
     )
     key = hashlib.sha256(keysrc.encode()).hexdigest()[:24]
-    exp = _mem.get(key)
-    if exp is None:
+    call = _mem.get(key)
+    if call is None:
         with _lock:
-            exp = _mem.get(key)
-            if exp is None:
+            call = _mem.get(key)
+            if call is None:
                 path = os.path.join(
                     cache_dir(), f"{name.replace('.', '_')}-{key}.jaxexp"
                 )
@@ -211,5 +211,9 @@ def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs)
                     with open(tmp, "wb") as f:
                         f.write(data)
                     os.replace(tmp, path)
-                _mem[key] = exp
-    return exp.call(*args, **kwargs)
+                # jit the exported call: exp.call re-traces the module
+                # wrapper on EVERY invocation (~0.2-0.7s of host time per
+                # call); under jit, repeat calls hit pjit's C++ fast path.
+                call = jax.jit(exp.call)
+                _mem[key] = call
+    return call(*args, **kwargs)

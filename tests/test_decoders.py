@@ -146,3 +146,45 @@ def test_nussinov_pallas_padded(seed=0):
                                      interpret=True)
     assert float(s0) == float(s1)
     np.testing.assert_array_equal(np.asarray(ss0), np.asarray(ss1)[:L])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_nw_pallas_matches_lax(seed):
+    """NW Pallas kernel (interpret mode) bit-identical to the lax decode,
+    including on bucket-padded shapes with dynamic true lengths."""
+    from dafs_tpu.ops import nw_pallas
+
+    rng = np.random.default_rng(seed + 500)
+    L1 = int(rng.integers(6, 40))
+    L2 = int(rng.integers(6, 40))
+    p = _random_mp_matrix(rng, L1, L2)
+    q = (rng.random((L1, L2)) * 0.1).astype(np.float32)
+    th = np.float32(0.01)
+    env = nw.envelope(p, th)
+    sm = np.float32(p - th + q)
+
+    s0, al0 = nw.decode(
+        jnp.asarray(sm), jnp.asarray(env[:, 0], jnp.int32),
+        jnp.asarray(env[:, 1], jnp.int32), L1=L1, L2=L2,
+    )
+    s1, al1 = nw_pallas.decode(
+        jnp.asarray(sm), jnp.asarray(env[:, 0], jnp.int32),
+        jnp.asarray(env[:, 1], jnp.int32), L1=L1, L2=L2, interpret=True,
+    )
+    assert float(s0) == float(s1)
+    np.testing.assert_array_equal(np.asarray(al0), np.asarray(al1))
+
+    # padded shapes + dynamic lengths (the DD call pattern)
+    P1, P2 = L1 + 13, L2 + 29
+    smp = np.full((P1, P2), np.float32(0.0 - th), dtype=np.float32)
+    smp[:L1, :L2] = sm
+    envf = np.zeros(P1 + 1, dtype=np.int32)
+    envl = np.full(P1 + 1, P2, dtype=np.int32)
+    envf[: L1 + 1] = env[:, 0]
+    envl[: L1 + 1] = env[:, 1]
+    s2, al2 = nw_pallas.decode(
+        jnp.asarray(smp), jnp.asarray(envf), jnp.asarray(envl),
+        jnp.int32(L1), jnp.int32(L2), L1=P1, L2=P2, interpret=True,
+    )
+    assert float(s0) == float(s2)
+    np.testing.assert_array_equal(np.asarray(al0), np.asarray(al2)[:L1])
