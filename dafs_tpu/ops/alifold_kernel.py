@@ -225,61 +225,64 @@ def build_planes(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
     def tau_of(x):
         return np.where(x > 2, tau, F(1.0))
 
-    # per-seq interior mismatch planes
-    MMI_OUT = np.empty((NS, Lp, Lp), F)
-    MM1N_OUT = np.empty((NS, Lp, Lp), F)
-    MM23_OUT = np.empty((NS, Lp, Lp), F)
-    TAU_OUT = np.empty((NS, Lp, Lp), F)
-    MMI_IN = np.empty((NS, Lp, Lp), F)
-    MM1N_IN = np.empty((NS, Lp, Lp), F)
-    MM23_IN = np.empty((NS, Lp, Lp), F)
-    TAU_IN = np.empty((NS, Lp, Lp), F)
-    C175_OUT = np.empty((NS, Lp, Lp), np.int32)
-    C35_OUT = np.empty((NS, Lp, Lp), np.int32)
-    C175_IN = np.empty((NS, Lp, Lp), np.int32)
-    C35_IN = np.empty((NS, Lp, Lp), np.int32)
-    TP7 = np.empty((NS, Lp, Lp), np.int32)
-    RT7 = np.empty((NS, Lp, Lp), np.int32)
-    # consensus multiloop / exterior products
+    # flat-table relays: T175[(tp-1)*25 + b5*5 + b3] == T[tp, b5, b3]
+    # (tp in 1..7); one np.take per plane replaces a 3-index fancy gather,
+    # and the C175 code planes are reused across the three tables
+    mmI175 = np.ascontiguousarray(mmI[1:8].reshape(175))
+    mm1n175 = np.ascontiguousarray(mm1n[1:8].reshape(175))
+    mm23175 = np.ascontiguousarray(mm23[1:8].reshape(175))
+    mmM175 = np.ascontiguousarray(mmM[1:8].reshape(175))
+    mmExt175 = np.ascontiguousarray(mmExt[1:8].reshape(175))
+    d5f = np.ascontiguousarray(d5.reshape(-1))   # [tp*5 + b]
+    d3f = np.ascontiguousarray(d3.reshape(-1))
+
+    # per-seq index planes, vectorized over sequences (no (Lp, Lp) copies:
+    # tp IS pt7, neighbor bases broadcast from the S5/S3 vectors)
+    tp = pt7                      # (NS, Lp, Lp), values 1..7
+    rt = RT[tp]
+    si1 = S3[:, :, None]          # base 3' of col i (within seq s)
+    sj1 = S5[:, None, :]          # base 5' of col j
+    sp1 = S5[:, :, None]
+    sq1 = S3[:, None, :]
+    C175_OUT = ((tp - 1) * 25 + si1 * 5 + sj1).astype(np.int32)
+    C35_OUT = ((tp - 1) * 5 + si1).astype(np.int32)
+    C175_IN = ((rt - 1) * 25 + sq1 * 5 + sp1).astype(np.int32)
+    C35_IN = ((rt - 1) * 5 + sq1).astype(np.int32)
+    TP7 = (tp - 1).astype(np.int32)
+    RT7 = (rt - 1).astype(np.int32)
+
+    MMI_OUT = np.take(mmI175, C175_OUT)
+    MM1N_OUT = np.take(mm1n175, C175_OUT)
+    MM23_OUT = np.take(mm23175, C175_OUT)
+    TAU_OUT = tau_of(tp).astype(F)
+    MMI_IN = np.take(mmI175, C175_IN)
+    MM1N_IN = np.take(mm1n175, C175_IN)
+    MM23_IN = np.take(mm23175, C175_IN)
+    TAU_IN = tau_of(rt).astype(F)
+
+    # consensus multiloop / exterior products (sequential over s: preserve
+    # the reference's ascending-s f32 multiplication order bitwise)
     MLSTEM = np.ones((Lp, Lp), F)
     MLCLOSE = np.ones((Lp, Lp), F)
     EXT = np.ones((Lp, Lp), F)
+    ml_f = np.take(mmM175, ((tp - 1) * 25 + sp1 * 5 + sq1)) * TAU_OUT * mli
+    mlc_f = np.take(mmM175, ((rt - 1) * 25 + sj1 * 5 + si1)) * TAU_IN * mli
+    has5 = ic > 1
+    has3 = jc < n
+    s5g = np.where(has5[None], sp1, 0)
+    s3g = np.where(has3[None], sq1, 0)
+    ext_f = np.where(
+        (has5 & has3)[None],
+        np.take(mmExt175, (tp - 1) * 25 + s5g * 5 + s3g),
+        np.where(
+            has5[None], np.take(d5f, tp * 5 + s5g),
+            np.where(has3[None], np.take(d3f, tp * 5 + s3g), F(1.0)),
+        ),
+    ) * TAU_OUT
     for s in range(NS):
-        tp = pt7[s][ic, jc]
-        rt = RT[tp]
-        si1 = S3[s][ic]   # base 3' of col i (within seq s)
-        sj1 = S5[s][jc]   # base 5' of col j
-        sp1 = S5[s][ic]
-        sq1 = S3[s][jc]
-        MMI_OUT[s] = mmI[tp, si1, sj1]
-        MM1N_OUT[s] = mm1n[tp, si1, sj1]
-        MM23_OUT[s] = mm23[tp, si1, sj1]
-        TAU_OUT[s] = tau_of(tp)
-        MMI_IN[s] = mmI[rt, sq1, sp1]
-        MM1N_IN[s] = mm1n[rt, sq1, sp1]
-        MM23_IN[s] = mm23[rt, sq1, sp1]
-        TAU_IN[s] = tau_of(rt)
-        C175_OUT[s] = (tp - 1) * 25 + si1 * 5 + sj1
-        C35_OUT[s] = (tp - 1) * 5 + si1
-        C175_IN[s] = (rt - 1) * 25 + sq1 * 5 + sp1
-        C35_IN[s] = (rt - 1) * 5 + sq1
-        TP7[s] = tp - 1
-        RT7[s] = rt - 1
-        # qm1 stem factor: mmM[tp, S5[i], S3[j]] * tau(tp) * mli
-        MLSTEM = (MLSTEM * (mmM[tp, sp1, sq1] * tau_of(tp) * mli)).astype(F)
-        # qb multiloop-closing: mmM[RT, S5[j], S3[i]] * tau(RT) * mli
-        MLCLOSE = (MLCLOSE * (mmM[rt, sj1, si1] * tau_of(rt) * mli)).astype(F)
-        # exterior factor
-        has5 = ic > 1
-        has3 = jc < n
-        s5g = np.where(has5, sp1, 0)
-        s3g = np.where(has3, sq1, 0)
-        mm = np.where(
-            has5 & has3,
-            mmExt[tp, s5g, s3g],
-            np.where(has5, d5[tp, s5g], np.where(has3, d3[tp, s3g], F(1.0))),
-        ) * tau_of(tp)
-        EXT = (EXT * mm).astype(F)
+        MLSTEM = (MLSTEM * ml_f[s]).astype(F)
+        MLCLOSE = (MLCLOSE * mlc_f[s]).astype(F)
+        EXT = (EXT * ext_f[s]).astype(F)
     MLCLOSE = (MLCLOSE * mlc).astype(F)
 
     HP = _hairpin_plane(t, S, S5, S3, a2s, pt7, tri_code, tetra_code,

@@ -169,7 +169,10 @@ def cached_call(fn, *args, static: dict | None = None, salt: str = "", **kwargs)
             (k, v)
             for k, v in os.environ.items()
             if k.startswith("DAFS_TPU_")
-            and k not in ("DAFS_TPU_AOT_CACHE", "DAFS_TPU_COMPILE_CACHE")
+            and k not in (
+                "DAFS_TPU_AOT_CACHE", "DAFS_TPU_COMPILE_CACHE",
+                "DAFS_TPU_TIMING",  # host-side logging only, not traced
+            )
         )
     )
     keysrc = "\x00".join(
