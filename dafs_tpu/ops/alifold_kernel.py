@@ -54,6 +54,17 @@ SW = MAXLOOP + 1   # stencil width (u, v in [0, 30])
 RP = 64            # top/bottom row padding of diag-major buffers (>= 62)
 PAD = 34           # column padding for static shift windows (>= SW + 2)
 
+# Staircase decomposition of the interior stencil's valid triangle
+# (u + v <= MAXLOOP): (v0, v1, u_ext) blocks jointly covering every valid
+# (u, v) cell (u < u_ext = SW - v0 suffices since u <= MAXLOOP - v <= 30 - v0).
+# Cells inside a block with u + v > 30 are zeroed by SCP / the loop tables,
+# exactly as in the full-square evaluation; only the f32 reduction
+# association changes (4 partial sums).  This cuts the dense stencil work
+# ~1.6x and, because u2 <= v < v1, lets every one-hot loop-size contraction
+# truncate its 31-wide table axis to v1 (~3.2x on the Tval term).
+# Disable with DAFS_TPU_ABLATE=nostair (full-square reference path).
+STAIR = ((0, 8, 31), (8, 16, 23), (16, 24, 15), (24, 31, 7))
+
 F = np.float32
 
 
@@ -92,7 +103,26 @@ def build_loop_tables(t: dict) -> dict:
                 T_23[u1, u2] = internal[5] * ninio[1]
             else:
                 T_gen[u1, u2] = internal[u1 + u2] * ninio[nl - ns]
-    return dict(T_gen=T_gen, T_1n=T_1n, T_23=T_23, T_blg=T_blg)
+    # Separable forms of the three non-general categories (used by the fast
+    # A-group path): each lives on u1/u2 lines, so
+    #   T_blg[u1,u2] = [u1==0]*BU[u2] + BU[u1]*[u2==0]        (BU = bulge, >=2)
+    #   T_1n [u1,u2] = [u1==1]*F1N[u2] + F1N[u1]*[u2==1]      (F1N gated >=3)
+    #   T_23 [u1,u2] = C23*([u1==2][u2==3] + [u1==3][u2==2])
+    # replacing their 31-wide one-hot table contractions with elementwise
+    # products of per-(s,u,i)/(s,v,j) planes.  Zero-gating reproduces the
+    # category partition exactly (B-group cells excluded by construction).
+    BU = np.where(np.arange(SW) >= 2, bulge[:SW], 0.0).astype(F)
+    F1N = np.array(
+        [
+            internal[min(x + 1, MAXLOOP)] * ninio[min(x - 1, MAXLOOP)]
+            if x >= 3 else 0.0
+            for x in range(SW)
+        ],
+        F,
+    )
+    C23 = F(internal[5] * ninio[1])
+    return dict(T_gen=T_gen, T_1n=T_1n, T_23=T_23, T_blg=T_blg,
+                BU=BU, F1N=F1N, C23=C23)
 
 
 def build_special_tables(t: dict) -> dict:
@@ -399,14 +429,59 @@ def alifold_fast(
     )                                             # S3[s, i-1-u]
 
     OH31U1 = _oh(U1, SW)
-    OH5SP1u = _oh(SP1u, 5)
     OH31U1o = _oh(U1o, SW)
-    OH5SI1ou = _oh(SI1ou, 5)
+    # neighbor-base one-hots, i-last layout (see B-group comment below)
+    OHpT = jnp.stack([(SP1u == p).astype(f) for p in range(5)], 1)
+    OHpoT = jnp.stack([(SI1ou == p).astype(f) for p in range(5)], 1)
 
-    Tg = {k: jnp.asarray(v) for k, v in loop_tabs.items()}
-    # pre-contract the u1 side of the loop-size sandwiches
-    W1 = {k: jnp.einsum("suia,ab->suib", OH31U1, Tg[k]) for k in Tg}
-    W1o = {k: jnp.einsum("suia,ab->suib", OH31U1o, Tg[k]) for k in Tg}
+    # pre-contract the u1 side of the general-category sandwich; the three
+    # separable categories (T_blg/T_1n/T_23, see build_loop_tables) instead
+    # use 1-D value planes, so only T_gen pays a per-diagonal 31-wide
+    # one-hot contraction.
+    Tgen2d = jnp.asarray(loop_tabs["T_gen"])
+    W1 = {"T_gen": jnp.einsum("suia,ab->suib", OH31U1, Tgen2d)}
+    W1o = {"T_gen": jnp.einsum("suia,ab->suib", OH31U1o, Tgen2d)}
+
+    BU1d = jnp.asarray(loop_tabs["BU"])
+    F1N1d = jnp.asarray(loop_tabs["F1N"])
+    C23 = jnp.float32(loop_tabs["C23"])
+    # u-side (d-independent) separable-category planes and masks
+    BU_u = jnp.einsum("suia,a->sui", OH31U1, BU1d)        # (NS, SW, Lp)
+    F1N_u = jnp.einsum("suia,a->sui", OH31U1, F1N1d)
+    IND_U = [(U1 == a).astype(f) for a in range(4)]
+    BU_uo = jnp.einsum("suia,a->sui", OH31U1o, BU1d)
+    F1N_uo = jnp.einsum("suia,a->sui", OH31U1o, F1N1d)
+    IND_UO = [(U1o == a).astype(f) for a in range(4)]
+
+    # v-side planes indexed by alignment column j (read per diagonal at
+    # j = i + d with one dynamic lane slice).  Inside direction:
+    # V2J[s, v, y] = a2s[y+SW-1] - a2s[y+SW-1-v]  (lane y+SW == big lane m);
+    # outside: V2OJ[s, v, y] = a2s[y+v] - a2s[y].
+    Wbig = A2Sb.shape[1]
+    V2J = jnp.stack(
+        [
+            jax.lax.dynamic_slice(A2Sb, (0, SW - 1), (NS, Wbig - SW))
+            - jax.lax.dynamic_slice(A2Sb, (0, SW - 1 - v), (NS, Wbig - SW))
+            for v in range(SW)
+        ],
+        axis=1,
+    ).clip(0)                                              # (NS, SW, Wbig-SW)
+    V2OJ = jnp.stack(
+        [
+            jax.lax.dynamic_slice(A2Sb, (0, v), (NS, Wbig - SW))
+            - jax.lax.dynamic_slice(A2Sb, (0, 0), (NS, Wbig - SW))
+            for v in range(SW)
+        ],
+        axis=1,
+    ).clip(0)
+    OHV2J = _oh(V2J, SW)
+    OHV2OJ = _oh(V2OJ, SW)
+    BU_vJ = jnp.einsum("svya,a->svy", OHV2J, BU1d)
+    F1N_vJ = jnp.einsum("svya,a->svy", OHV2J, F1N1d)
+    IND_VJ = jnp.stack([(V2J == b).astype(f) for b in range(4)])
+    BU_vOJ = jnp.einsum("svya,a->svy", OHV2OJ, BU1d)
+    F1N_vOJ = jnp.einsum("svya,a->svy", OHV2OJ, F1N1d)
+    IND_VOJ = jnp.stack([(V2OJ == b).astype(f) for b in range(4)])
 
     SCP = jnp.asarray(
         np.fromfunction(
@@ -448,27 +523,28 @@ def alifold_fast(
     def write_row(B, d, vec):
         return jax.lax.dynamic_update_slice(B, vec[None, :], (d + RP, 0))
 
-    def stencil_in(CH, d):
-        """CH (C, NROWS, Lp) -> (C, SW, SW, Lp): [c,u,v,i] = CH[c, d-2-u-v, i+1+u]."""
+    def stencil_in(CH, d, u_ext=SW, v0=0, v1=SW):
+        """CH (C, NROWS, Lp) -> (C, u_ext, v1-v0, Lp):
+        [c,u,v',i] = CH[c, d-2-u-(v0+v'), i+1+u]."""
         s61 = _dyn_rows3(CH, d + RP - 62, 61)
         padc = jnp.concatenate(
             [s61, jnp.zeros((CH.shape[0], 61, SW + 2), CH.dtype)], axis=2
         )
         blocks = [
-            padc[:, 30 - u : 61 - u][:, ::-1, 1 + u : 1 + u + Lp]
-            for u in range(SW)
+            padc[:, 61 - u - v1 : 61 - u - v0][:, ::-1, 1 + u : 1 + u + Lp]
+            for u in range(u_ext)
         ]
         return jnp.stack(blocks, axis=1)
 
-    def stencil_out(CH, d):
-        """[c,u,v,i] = CH[c, d+2+u+v, i-1-u]."""
+    def stencil_out(CH, d, u_ext=SW, v0=0, v1=SW):
+        """[c,u,v',i] = CH[c, d+2+u+(v0+v'), i-1-u]."""
         s61 = _dyn_rows3(CH, d + RP + 2, 61)
         padc = jnp.concatenate(
             [jnp.zeros((CH.shape[0], 61, SW + 2), CH.dtype), s61], axis=2
         )
         blocks = [
-            padc[:, u : u + SW][:, :, SW + 1 - u : SW + 1 - u + Lp]
-            for u in range(SW)
+            padc[:, u + v0 : u + v1][:, :, SW + 1 - u : SW + 1 - u + Lp]
+            for u in range(u_ext)
         ]
         return jnp.stack(blocks, axis=1)
 
@@ -476,42 +552,59 @@ def alifold_fast(
         """w[x] = big[:, PAD + d + off - 30 + x], x in [0, 30+Lp)."""
         return jax.lax.dynamic_slice(big, (0, PAD + d + off - 30), (NS, 30 + Lp))
 
-    def interior_K(d, U2, SQ1v, OUTrow, INst, TP2st, Dl):
-        """Per-seq interior factors K (NS, SW, SW, Lp) for this diagonal.
+    def interior_K(d, U2b, SQ1vb, OUTrow, INst, TP2st, Dl, u_ext, v0, v1):
+        """Per-seq interior factors K (NS, u_ext, v1-v0, Lp), one staircase
+        block per call.
 
-        U2/SQ1v: (NS, SW, Lp) v-indexed; OUTrow: (4NS, Lp) per-diag A-group
-        outer rows; INst: (4NS, SW, SW, Lp) A-group stencil; TP2st:
-        (NS, SW, SW, Lp) inner pair types 0..6; Dl: dict of per-diag
-        B-group contractions.
+        U2b/SQ1vb: (NS, v1-v0, Lp) v-block-indexed; OUTrow: (4NS, Lp)
+        per-diag A-group outer rows; INst: (4NS, u_ext, v1-v0, Lp) A-group
+        stencil block; TP2st: (NS, u_ext, v1-v0, Lp) inner pair types 0..6;
+        Dl: dict of per-diag B-group contractions (full-SW u axes, sliced
+        here).  The loop-size one-hot axis truncates to v1 (u2 <= v < v1).
         """
-        OH31U2 = _oh(U2, SW)
-        OH5SQ1v = _oh(SQ1v, 5)
-        # A group: sum over categories of out * T[u1,u2] * in.
-        # All contractions against one-hot operands are explicit
-        # broadcast-multiply-reduces, NOT dots: exactly one term per sum is
-        # nonzero (bitwise order-independent), and XLA would otherwise pad
-        # each tiny batched 31x31x31 dot to 128^3 MXU tiles (~1% utilization
-        # -- measured ~7.7ms/dot/diagonal at L=300).
-        def cat(kname, ci):
-            W = Dl["W1"][kname]                          # (NS, SW, Lp, 31)
-            Tval = jnp.sum(
-                W[:, :, None, :, :] * OH31U2[:, None, :, :, :], axis=-1
-            )                                            # (NS, SW, SW, Lp)
+        OH31U2 = _oh(U2b, v1)                            # (NS, vb, Lp, v1)
+
+        def oi(ci):
             outr = OUTrow[ci * NS : (ci + 1) * NS]      # (NS, Lp)
-            inst = INst[ci * NS : (ci + 1) * NS]        # (NS, SW, SW, Lp)
-            return outr[:, None, None, :] * Tval * inst
+            inst = INst[ci * NS : (ci + 1) * NS]        # (NS, u_ext, vb, Lp)
+            return outr[:, None, None, :] * inst
+
+        # A group: sum over categories of out * T[u1,u2] * in.  Only the
+        # general category contracts a loop-size one-hot (explicit
+        # broadcast-multiply-reduce, NOT a dot: exactly one term per sum is
+        # nonzero, and XLA would otherwise pad each tiny batched 31^3 dot to
+        # 128^3 MXU tiles); the other three categories are separable
+        # (build_loop_tables) and use precomputed u-/v-side value planes.
+        iu = Dl["IND_U"]
+        iv = Dl["IND_V"]
+        bu_u = Dl["BU_u"][:, :u_ext, None, :]
+        bu_v = Dl["BU_v"][:, None, v0:v1, :]
+        f1_u = Dl["F1N_u"][:, :u_ext, None, :]
+        f1_v = Dl["F1N_v"][:, None, v0:v1, :]
+
+        def ind_u(a):
+            return iu[a][:, :u_ext, None, :]
+
+        def ind_v(b):
+            return iv[b][:, None, v0:v1, :]
 
         if "noA" in _ABLATE:
-            K = jnp.zeros((NS, SW, SW, INst.shape[-1]), f)
+            K = jnp.zeros((NS, u_ext, v1 - v0, INst.shape[-1]), f)
         else:
-            K = cat("T_gen", 0) + cat("T_1n", 1) + cat("T_23", 2) + cat("T_blg", 3)
+            W = Dl["W1"]["T_gen"][:, :u_ext, :, :v1]     # (NS, u_ext, Lp, v1)
+            Tgen = jnp.sum(
+                W[:, :, None, :, :] * OH31U2[:, None, :, :, :], axis=-1
+            )                                            # (NS, u_ext, vb, Lp)
+            T1n = ind_u(1) * f1_v + f1_u * ind_v(1)
+            T23 = Dl["C23"] * (ind_u(2) * ind_v(3) + ind_u(3) * ind_v(2))
+            Tblg = ind_u(0) * bu_v + bu_u * ind_v(0)
+            K = (oi(0) * Tgen + oi(1) * T1n + oi(2) * T23 + oi(3) * Tblg)
         if "noB" in _ABLATE:
             return K
 
         # B group: category masks from per-seq loop sizes
-        U1l = Dl["U1"]
-        m_u = [(U1l == a).astype(f) for a in range(3)]   # (NS, SW, Lp)
-        m_v = [(U2 == b).astype(f) for b in range(3)]
+        m_u = [iu[a][:, :u_ext] for a in range(3)]       # (NS, u_ext, Lp)
+        m_v = [iv[b][:, v0:v1] for b in range(3)]
 
         def mm(a, b):
             return m_u[a][:, :, None, :] * m_v[b][:, None, :, :]
@@ -519,29 +612,39 @@ def alifold_fast(
         m00, m01, m10 = mm(0, 0), mm(0, 1), mm(1, 0)
         m11, m12, m21, m22 = mm(1, 1), mm(1, 2), mm(2, 1), mm(2, 2)
 
+        # Unrolled FMA chains over the tiny inner alphabets (t2 in 0..6,
+        # p/q in 0..4); every operand keeps i as the lane axis and nothing
+        # larger than one (NS, u_ext, vb, Lp) accumulator materializes.
+        OHq = Dl["OHqT"][:, :, v0:v1]                # (NS, 5, vb, Lp)
+        OHp = Dl["OHpT"][:, :, :u_ext]               # (NS, 5, u_ext, Lp)
+        m_sb = m00 + blg1 * (m01 + m10)
         Bv = jnp.zeros_like(K)
         for t2 in range(7):
             sel = (TP2st == t2).astype(f)
-            # stack / 1-bulges / 1x1 (inner alphabet: pair type only)
-            v_sb = (
-                Dl["Dstack"][:, :, t2][:, None, None, :]
-                * (m00 + blg1 * (m01 + m10))
-                + Dl["Di11"][:, :, t2][:, None, None, :] * m11
+            acc = (
+                Dl["DstackT"][:, t2][:, None, None, :] * m_sb
+                + Dl["Di11T"][:, t2][:, None, None, :] * m11
             )
             # i21a: inner (t2, sq1); no u-dependence
-            Da = Dl["Di21a"][:, :, t2 * 5 : t2 * 5 + 5]  # (NS, Lp, 5)
-            Ea = jnp.sum(OH5SQ1v * Da[:, None, :, :], axis=-1)
-            # i21b / i22: u-dependent (sp1) contractions
-            Db = Dl["D21b"][:, :, :, t2 * 5 : t2 * 5 + 5]  # (NS, SW, Lp, 5)
-            Eb = jnp.sum(
-                OH5SQ1v[:, None, :, :, :] * Db[:, :, None, :, :], axis=-1
-            )
-            D2 = Dl["D22"][:, :, :, t2 * 5 : t2 * 5 + 5]
-            E2 = jnp.sum(
-                OH5SQ1v[:, None, :, :, :] * D2[:, :, None, :, :], axis=-1
-            )
+            Ea = sum(
+                OHq[:, q] * Dl["Di21aT"][:, t2 * 5 + q][:, None, :]
+                for q in range(5)
+            )                                        # (NS, vb, Lp)
+            S21 = jnp.zeros_like(K)
+            S22 = jnp.zeros_like(K)
+            for q in range(5):
+                D21 = sum(
+                    OHp[:, p] * Dl["T21bcT"][:, p, t2 * 5 + q][:, None, :]
+                    for p in range(5)
+                )                                    # (NS, u_ext, Lp)
+                D22v = sum(
+                    OHp[:, p] * Dl["T22cT"][:, p, t2 * 5 + q][:, None, :]
+                    for p in range(5)
+                )
+                S21 = S21 + OHq[:, q][:, None] * D21[:, :, None]
+                S22 = S22 + OHq[:, q][:, None] * D22v[:, :, None]
             Bv = Bv + sel * (
-                v_sb + Ea[:, None, :, :] * m12 + Eb * m21 + E2 * m22
+                acc + Ea[:, None, :, :] * m12 + S21 * m21 + S22 * m22
             )
         return K + Bv
 
@@ -565,34 +668,50 @@ def alifold_fast(
         SQ1v = jnp.stack(
             [win_s3[:, 30 - v : 30 - v + Lp] for v in range(SW)], axis=1
         )
+        OHqT = jnp.stack([(SQ1v == q).astype(f) for q in range(5)], 1)
         OUTrow = ldiag_row3(OUTROWS, d)           # (4NS, Lp)
-        INst = stencil_in(IN_ST, d)               # (4NS, SW, SW, Lp)
-        TP2st = stencil_in(RT7L, d)               # (NS, SW, SW, Lp) int
-        # per-diag B-group pre-contractions (outer side)
-        oh7 = _oh(ldiag_row3(TP7L, d), 7)          # (NS, Lp, 7)
-        oh175 = _oh(ldiag_row3(C175OL, d), 175)
-        oh35 = _oh(ldiag_row3(C35OL, d), 35)
+        # per-diag B-group pre-contractions (outer side).  All arrays keep
+        # the long i axis LAST (lane dimension) — a small trailing axis
+        # (5/7/35) would pad its lanes to 128 and waste most of the VPU —
+        # and the code-table contractions run as dot_generals with i as the
+        # matmul N dimension.
+        tp7row = ldiag_row3(TP7L, d)               # (NS, Lp) int
+        c175row = ldiag_row3(C175OL, d)
+        c35row = ldiag_row3(C35OL, d)
+        oh7T = jnp.stack([(tp7row == t).astype(f) for t in range(7)], 1)
+        oh35T = jnp.stack([(c35row == c).astype(f) for c in range(35)], 1)
+        oh175T = jnp.stack([(c175row == c).astype(f) for c in range(175)], 1)
+        y0v = PAD + d - SW
         Dl = dict(
-            W1=W1, U1=U1,
-            Dstack=jnp.einsum("sit,tc->sic", oh7, T7),
-            Di11=jnp.einsum("sia,ac->sic", oh175, Ti11),
-            Di21a=jnp.einsum("sia,ac->sic", oh175, Ti21a),
-            D21b=jnp.sum(
-                OH5SP1u[..., None]
-                * jnp.einsum("sia,abc->sibc", oh35, Ti21b)[:, None], axis=3
+            W1=W1, C23=C23,
+            BU_u=BU_u, F1N_u=F1N_u, IND_U=IND_U,
+            BU_v=jax.lax.dynamic_slice(BU_vJ, (0, 0, y0v), (NS, SW, Lp)),
+            F1N_v=jax.lax.dynamic_slice(F1N_vJ, (0, 0, y0v), (NS, SW, Lp)),
+            IND_V=jax.lax.dynamic_slice(
+                IND_VJ, (0, 0, 0, y0v), (4, NS, SW, Lp)
             ),
-            D22=jnp.sum(
-                OH5SP1u[..., None]
-                * jnp.einsum("sia,abc->sibc", oh175, Ti22)[:, None], axis=3
-            ),
+            DstackT=jnp.einsum("sti,tc->sci", oh7T, T7),        # (NS,7,Lp)
+            Di11T=jnp.einsum("sci,ct->sti", oh175T, Ti11),      # (NS,7,Lp)
+            Di21aT=jnp.einsum("sci,cm->smi", oh175T, Ti21a),    # (NS,35,Lp)
+            T21bcT=jnp.einsum("sci,cpm->spmi", oh35T, Ti21b),   # (NS,5,35,Lp)
+            T22cT=jnp.einsum("sci,cpm->spmi", oh175T, Ti22),    # (NS,5,35,Lp)
+            OHpT=OHpT, OHqT=OHqT,
         )
         if "noint" in _ABLATE:
             interior = jnp.zeros((Lp,), f)
         else:
-            K = interior_K(d, U2, SQ1v, OUTrow, INst, TP2st, Dl)
-            Kp = jnp.prod(K, axis=0)               # (SW, SW, Lp)
-            M2qb = stencil_in(QBL[None], d)[0]
-            interior = jnp.einsum("uvi,uvi,uv->i", M2qb, Kp, SCP)
+            stair = ((0, SW, SW),) if "nostair" in _ABLATE else STAIR
+            interior = jnp.zeros((Lp,), f)
+            for v0, v1, u_ext in stair:
+                INst = stencil_in(IN_ST, d, u_ext, v0, v1)
+                TP2st = stencil_in(RT7L, d, u_ext, v0, v1)
+                K = interior_K(d, U2[:, v0:v1], SQ1v[:, v0:v1], OUTrow,
+                               INst, TP2st, Dl, u_ext, v0, v1)
+                Kp = jnp.prod(K, axis=0)           # (u_ext, vb, Lp)
+                M2qb = stencil_in(QBL[None], d, u_ext, v0, v1)[0]
+                interior = interior + jnp.einsum(
+                    "uvi,uvi,uv->i", M2qb, Kp, SCP[:u_ext, v0:v1]
+                )
 
         # multiloop closing (mccaskill_kernel.py pattern, consensus factors)
         qm_sh = jnp.zeros((Lp, Lp), f).at[: Lp - 1, 1:].set(qm[1:, : Lp - 1])
@@ -716,83 +835,119 @@ def alifold_fast(
              for v in range(SW)], axis=1
         )                                # S5[s, j+1+v] = S5[s, l]
         INrow = ldiag_row3(INROWS, d)    # (4NS, Lp): inner-side factors here
-        OUTst_all = stencil_out(OUT_PSC, d)
-        OUTst = OUTst_all[: 4 * NS]
-        PSCst = OUTst_all[4 * NS]
-        TPst = stencil_out(TP7L, d)      # outer pair types (NS,SW,SW,Lp)
+        # per-diag inner-side contractions (i-last layouts + dot_generals
+        # with i as the matmul N dim — see the inside-direction comment)
+        rt7row = ldiag_row3(RT7L, d)              # tp2 = RT[tp(i,j)]
+        c175irow = ldiag_row3(C175IL, d)
+        c35irow = ldiag_row3(C35IL, d)
+        oh7rtT = jnp.stack([(rt7row == t).astype(f) for t in range(7)], 1)
+        oh35iT = jnp.stack([(c35irow == c).astype(f) for c in range(35)], 1)
+        oh175iT = jnp.stack(
+            [(c175irow == c).astype(f) for c in range(175)], 1
+        )
+        # remaining axis = the OUTER (stencil-side) code
+        DstackoT = jnp.einsum("sci,tc->sti", oh7rtT, T7)       # (NS,7,Lp)
+        Di11oT = jnp.einsum("sti,ct->sci", oh7rtT, Ti11)       # (NS,175,Lp)
+        Di21aoT = jnp.einsum("smi,cm->sci", oh35iT, Ti21a)     # (NS,175,Lp)
+        D21boT = jnp.einsum("smi,cm->sci", oh175iT, Ti21b_o)   # (NS,35,Lp)
+        D22oT = jnp.einsum("smi,cm->sci", oh175iT, Ti22_o)     # (NS,175,Lp)
 
-        OH31U2o = _oh(U2o, SW)
-        OH5SJ1ov = _oh(SJ1ov, 5)
-        # per-diag inner-side contractions
-        oh7rt = _oh(ldiag_row3(RT7L, d), 7)       # tp2 = RT[tp(i,j)]
-        oh175in = _oh(ldiag_row3(C175IL, d), 175)
-        oh35in = _oh(ldiag_row3(C35IL, d), 35)
-        Dstack_o = jnp.einsum("sic,tc->sit", oh7rt, T7)     # (NS, Lp, 7)
-        Di11_o = jnp.einsum("sit,ct->sic", oh7rt, Ti11)     # (NS, Lp, 175)
-        Di21a_o = jnp.einsum("sim,cm->sic", oh35in, Ti21a)  # (NS, Lp, 175)
-        D21b_o = jnp.einsum("sim,cm->sic", oh175in, Ti21b_o)  # (NS, Lp, 35)
-        D22_o = jnp.einsum("sim,cm->sic", oh175in, Ti22_o)    # (NS, Lp, 175)
+        y0o = PAD + d
+        BU_vo = jax.lax.dynamic_slice(BU_vOJ, (0, 0, y0o), (NS, SW, Lp))
+        F1N_vo = jax.lax.dynamic_slice(F1N_vOJ, (0, 0, y0o), (NS, SW, Lp))
+        IND_VO = jax.lax.dynamic_slice(
+            IND_VOJ, (0, 0, 0, y0o), (4, NS, SW, Lp)
+        )
 
-        def catv(kname, ci):
-            W = W1o[kname]                               # (NS, SW, Lp, 31)
-            Tval = jnp.sum(
-                W[:, :, None, :, :] * OH31U2o[:, None, :, :, :], axis=-1
-            )
-            inr = INrow[ci * NS : (ci + 1) * NS]
-            outst = OUTst[ci * NS : (ci + 1) * NS]
-            return inr[:, None, None, :] * Tval * outst
+        OHjvT = jnp.stack([(SJ1ov == c).astype(f) for c in range(5)], 1)
 
-        if "noA" in _ABLATE:
-            K = jnp.zeros((NS, SW, SW, Lp), f)
-        else:
-            K = catv("T_gen", 0) + catv("T_1n", 1) + catv("T_23", 2) + catv("T_blg", 3)
+        def interior_out_blk(u_ext, v0, v1):
+            """One staircase block of the outside interior stencil."""
+            OUTst_all = stencil_out(OUT_PSC, d, u_ext, v0, v1)
+            OUTst = OUTst_all[: 4 * NS]
+            PSCst = OUTst_all[4 * NS]
+            TPst = stencil_out(TP7L, d, u_ext, v0, v1)  # outer pair types
+            OH31U2o = _oh(U2o[:, v0:v1], v1)            # (NS, vb, Lp, v1)
+            OHjv = OHjvT[:, :, v0:v1]                   # (NS, 5, vb, Lp)
+            OHpo = OHpoT[:, :, :u_ext]                  # (NS, 5, u_ext, Lp)
 
-        m_u = [(U1o == a).astype(f) for a in range(3)]
-        m_v = [(U2o == b).astype(f) for b in range(3)]
+            def oiv(ci):
+                inr = INrow[ci * NS : (ci + 1) * NS]
+                outst = OUTst[ci * NS : (ci + 1) * NS]
+                return inr[:, None, None, :] * outst
 
-        def mmk(a, b):
-            return m_u[a][:, :, None, :] * m_v[b][:, None, :, :]
+            # A group, outside roles: T_gen one-hot contraction + separable
+            # category planes (see interior_K)
+            def ind_uo(a):
+                return IND_UO[a][:, :u_ext, None, :]
 
-        m00, m01, m10 = mmk(0, 0), mmk(0, 1), mmk(1, 0)
-        m11, m12, m21, m22 = mmk(1, 1), mmk(1, 2), mmk(2, 1), mmk(2, 2)
+            def ind_vo(b):
+                return IND_VO[b][:, None, v0:v1, :]
 
-        Bv = jnp.zeros_like(K)
-        for t in range(7) if "noB" not in _ABLATE else ():
-            sel = (TPst == t).astype(f)
-            v_sb = Dstack_o[:, :, t][:, None, None, :] * (
-                m00 + blg1 * (m01 + m10)
-            )
-            # i11/i21a: stencil (t, si1, sj1) staged via (b, c); all one-hot
-            # contractions as explicit broadcast-reduces (see cat())
-            def _ec(Dv):  # (s,v,i,b) = sum_c OH5SJ1ov[s,v,i,c] * Dv[s,i,b,c]
-                return jnp.sum(
-                    OH5SJ1ov[:, :, :, None, :] * Dv[:, None, :, :, :], axis=-1
+            if "noA" in _ABLATE:
+                K = jnp.zeros((NS, u_ext, v1 - v0, Lp), f)
+            else:
+                W = W1o["T_gen"][:, :u_ext, :, :v1]     # (NS, u_ext, Lp, v1)
+                Tgen = jnp.sum(
+                    W[:, :, None, :, :] * OH31U2o[:, None, :, :, :], axis=-1
                 )
+                T1n = (ind_uo(1) * F1N_vo[:, None, v0:v1, :]
+                       + F1N_uo[:, :u_ext, None, :] * ind_vo(1))
+                T23 = C23 * (ind_uo(2) * ind_vo(3) + ind_uo(3) * ind_vo(2))
+                Tblg = (ind_uo(0) * BU_vo[:, None, v0:v1, :]
+                        + BU_uo[:, :u_ext, None, :] * ind_vo(0))
+                K = (oiv(0) * Tgen + oiv(1) * T1n + oiv(2) * T23
+                     + oiv(3) * Tblg)
 
-            def _eu(Ec):  # (s,u,v,i) = sum_b OH5SI1ou[s,u,i,b] * Ec[s,v,i,b]
-                return jnp.sum(
-                    OH5SI1ou[:, :, None, :, :] * Ec[:, None, :, :, :], axis=-1
-                )
+            m_u = [IND_UO[a][:, :u_ext] for a in range(3)]
+            m_v = [IND_VO[b][:, v0:v1] for b in range(3)]
 
-            Dv11 = Di11_o[:, :, t * 25 : (t + 1) * 25].reshape(NS, Lp, 5, 5)
-            E11 = _eu(_ec(Dv11))
-            Dva = Di21a_o[:, :, t * 25 : (t + 1) * 25].reshape(NS, Lp, 5, 5)
-            Ea = _eu(_ec(Dva))
-            # i21b: stencil (t, si1) only
-            Db_o = D21b_o[:, :, t * 5 : t * 5 + 5]       # (NS, Lp, 5)
-            Eb = jnp.sum(OH5SI1ou * Db_o[:, None, :, :], axis=-1)
-            # i22: stencil (t, si1, sj1)
-            Dv2 = D22_o[:, :, t * 25 : (t + 1) * 25].reshape(NS, Lp, 5, 5)
-            E2 = _eu(_ec(Dv2))
-            Bv = Bv + sel * (
-                v_sb + E11 * m11 + Ea * m12 + Eb[:, :, None, :] * m21 + E2 * m22
-            )
+            def mmk(a, b):
+                return m_u[a][:, :, None, :] * m_v[b][:, None, :, :]
+
+            m00, m01, m10 = mmk(0, 0), mmk(0, 1), mmk(1, 0)
+            m11, m12, m21, m22 = mmk(1, 1), mmk(1, 2), mmk(2, 1), mmk(2, 2)
+
+            m_sb = m00 + blg1 * (m01 + m10)
+            Bv = jnp.zeros_like(K)
+            for t in range(7) if "noB" not in _ABLATE else ():
+                sel = (TPst == t).astype(f)
+                acc = DstackoT[:, t][:, None, None, :] * m_sb
+
+                # outer code c175 = (t, b=si1(u-side), c=sj1(v-side)):
+                # stage the v-side contraction per b (small (NS, vb, Lp)
+                # arrays), then 5 block-FMAs over the u-side one-hot
+                def _bc(TAB, mask):
+                    out = jnp.zeros_like(K)
+                    for b in range(5):
+                        Fb = sum(
+                            OHjv[:, c]
+                            * TAB[:, t * 25 + b * 5 + c][:, None, :]
+                            for c in range(5)
+                        )                                # (NS, vb, Lp)
+                        out = out + OHpo[:, b][:, :, None] * Fb[:, None]
+                    return out * mask
+
+                acc = acc + _bc(Di11oT, m11) + _bc(Di21aoT, m12)
+                acc = acc + _bc(D22oT, m22)
+                # i21b: outer code (t, si1) only
+                Eb = sum(
+                    OHpo[:, b] * D21boT[:, t * 5 + b][:, None, :]
+                    for b in range(5)
+                )                                        # (NS, u_ext, Lp)
+                acc = acc + Eb[:, :, None, :] * m21
+                Bv = Bv + sel * acc
+            Kp = jnp.prod(K + Bv, axis=0) * PSCst
+            M2C = stencil_out(CL[None], d, u_ext, v0, v1)[0]
+            return jnp.einsum("uvi,uvi,uv->i", M2C, Kp, SCP[:u_ext, v0:v1])
+
         if "noint" in _ABLATE:
             w_int = jnp.zeros((Lp,), f)
         else:
-            Kp = jnp.prod(K + Bv, axis=0) * PSCst
-            M2C = stencil_out(CL[None], d)[0]
-            w_int = jnp.einsum("uvi,uvi,uv->i", M2C, Kp, SCP)
+            stair = ((0, SW, SW),) if "nostair" in _ABLATE else STAIR
+            w_int = jnp.zeros((Lp,), f)
+            for v0, v1, u_ext in stair:
+                w_int = w_int + interior_out_blk(u_ext, v0, v1)
 
         # multiloop outside (mccaskill_kernel.py pattern)
         qm_r = _dyn_rows(qm_rows_big, d + 1 + 4, Lp)
