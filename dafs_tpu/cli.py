@@ -166,14 +166,15 @@ def main(argv=None) -> int:
     else:
         s_model = fold_models.CONTRAfold(CUTOFF)
 
-    alifold_model = None
-    if not args.no_alifold or True:  # final decode always uses alifold
-        try:
-            from dafs_tpu.ops import alifold as alifold_ops
+    # The final decode always mixes in alifold regardless of --no-alifold
+    # (use_alifold1_ is unconditionally true, src/dafs.cpp:81-82,1696), so the
+    # model is constructed unconditionally; --no-alifold only gates merge steps.
+    try:
+        from dafs_tpu.ops import alifold as alifold_ops
 
-            alifold_model = alifold_ops.Alifold(0.0, bl=args.fold_model == "Boltzmann")
-        except ImportError:
-            alifold_model = None
+        alifold_model = alifold_ops.Alifold(0.0, bl=args.fold_model == "Boltzmann")
+    except ImportError:
+        alifold_model = None
 
     fa = load_fasta(args.input)
     d = pipeline.Dafs(a_model, s_model, opts, alifold_model=alifold_model)

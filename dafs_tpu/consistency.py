@@ -171,22 +171,84 @@ def _pct_weights_match(sim: np.ndarray, x: int, y: int, w_pct: float) -> np.ndar
     return w
 
 
-@aot.persistent_jit(static_argnames=("N",))
-def _relax_mp_device(mp, W, sum_w, *, N):
-    """All-pairs 3-way PCT in one XLA program (one dispatch; each pair keeps
-    the exact per-pair einsum of the loop formulation)."""
-    out = jnp.zeros_like(mp)
-    for x in range(N - 1):
-        for y in range(x + 1, N):
-            post = jnp.einsum(
-                "z,zki,zkj->ij", W[x, y], mp[:, x], mp[:, y],
-                preferred_element_type=jnp.float32, precision="highest",
+@aot.persistent_jit
+def _relax_mp_scan(mp, xs, ys, W, sum_w):
+    """3-way PCT over a pair worklist as ONE lax.scan.
+
+    Program size is O(1) in N (the old formulation unrolled N*(N-1)/2 einsums
+    into the program, exploding compile time at family scale); each step keeps
+    the exact per-pair einsum, so results are unchanged.  The einsum is a
+    single (L, N*L) x (N*L, L) f32 contraction — MXU work.
+    """
+    def body(carry, inp):
+        x, y, w, sw = inp
+        mpx = jax.lax.dynamic_index_in_dim(mp, x, axis=1, keepdims=False)
+        mpy = jax.lax.dynamic_index_in_dim(mp, y, axis=1, keepdims=False)
+        post = jnp.einsum(
+            "z,zki,zkj->ij", w, mpx, mpy,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        post = (post / sw).astype(jnp.float32)
+        post = jnp.where(post <= CUTOFF, 0.0, post)
+        return carry, post
+
+    _, out = jax.lax.scan(body, 0, (xs, ys, W, sum_w))
+    return out  # (B, L, L)
+
+
+@aot.persistent_jit
+def _relax_bp_scan(bp, mp, xs, W, sum_w):
+    """BP PCT over a sequence worklist as ONE lax.scan (O(1) program size)."""
+    def body(carry, inp):
+        x, w, sw = inp
+        mpx = jax.lax.dynamic_index_in_dim(mp, x, axis=1, keepdims=False)
+        post = jnp.einsum(
+            "y,yki,ykl,ylj->ij", w, mpx, bp, mpx,
+            preferred_element_type=jnp.float32, precision="highest",
+        )
+        post = (post / sw).astype(jnp.float32)
+        post = jnp.triu(post, 1)
+        post = jnp.where(post <= CUTOFF, 0.0, post)
+        return carry, post
+
+    _, out = jax.lax.scan(body, 0, (xs, W, sum_w))
+    return out  # (B, L, L)
+
+
+_SHARDED_PCT: dict = {}
+
+
+def _sharded_pct(kind: str, mesh):
+    """shard_map the PCT scans over the mesh work axis: the worklist splits
+    across devices (each runs its chunk of the scan on the replicated
+    posterior tensor); outputs are gathered along the work axis."""
+    key = (kind, id(mesh))
+    if key not in _SHARDED_PCT:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        if kind == "mp":
+            fn = shard_map(
+                _relax_mp_scan.__wrapped__, mesh=mesh,
+                in_specs=(P(), P("work"), P("work"), P("work"), P("work")),
+                out_specs=P("work"),
             )
-            post = (post / sum_w[x, y]).astype(jnp.float32)
-            post = jnp.where(post <= CUTOFF, 0.0, post)
-            out = out.at[x, y].set(post)
-            out = out.at[y, x].set(post.T)
-    return out
+        else:
+            fn = shard_map(
+                _relax_bp_scan.__wrapped__, mesh=mesh,
+                in_specs=(P(), P(), P("work"), P("work"), P("work")),
+                out_specs=P("work"),
+            )
+        _SHARDED_PCT[key] = jax.jit(fn)
+    return _SHARDED_PCT[key]
+
+
+def _maybe_mesh():
+    if jax.device_count() > 1:
+        from dafs_tpu.parallel import mesh as pmesh
+
+        return pmesh.make_mesh()
+    return None
 
 
 def relax_matching_probability(
@@ -200,40 +262,37 @@ def relax_matching_probability(
     conventions (entries <= CUTOFF dropped).
     """
     N, _, L, _ = mp.shape
-    W = np.zeros((N, N, N), np.float32)
-    sum_w = np.ones((N, N), np.float32)
-    for x in range(N - 1):
-        for y in range(x + 1, N):
-            w = _pct_weights_match(sim, x, y, w_pct_a)
-            W[x, y] = w
-            sum_w[x, y] = np.float32(np.sum(w, dtype=np.float32))
-    out = np.array(
-        _relax_mp_device(jnp.asarray(mp), jnp.asarray(W), jnp.asarray(sum_w), N=N)
-    )
-    for x in range(N - 1):
-        for y in range(x + 1, N):
-            out[x, y, lens[x]:, :] = 0.0
-            out[x, y, :, lens[y]:] = 0.0
-            out[y, x] = out[x, y].T
+    pairs = [(x, y) for x in range(N - 1) for y in range(x + 1, N)]
+    if not pairs:
+        return mp.copy()
+    mesh = _maybe_mesh()
+    ndev = mesh.devices.size if mesh is not None else 1
+    B = _round_up(len(pairs), ndev)
+    xs = np.zeros(B, np.int32)
+    ys = np.zeros(B, np.int32)
+    W = np.zeros((B, N), np.float32)
+    sum_w = np.ones(B, np.float32)
+    for b, (x, y) in enumerate(pairs):
+        w = _pct_weights_match(sim, x, y, w_pct_a)
+        xs[b], ys[b] = x, y
+        W[b] = w
+        sum_w[b] = np.float32(np.sum(w, dtype=np.float32))
+    args = (jnp.asarray(mp), jnp.asarray(xs), jnp.asarray(ys),
+            jnp.asarray(W), jnp.asarray(sum_w))
+    if mesh is not None:
+        posts = np.asarray(_sharded_pct("mp", mesh)(*args))
+    else:
+        posts = np.asarray(_relax_mp_scan(*args))
+    out = np.zeros_like(mp)
+    for b, (x, y) in enumerate(pairs):
+        p = posts[b].copy()
+        p[lens[x]:, :] = 0.0
+        p[:, lens[y]:] = 0.0
+        out[x, y] = p
+        out[y, x] = p.T
     for x in range(N):
         out[x, x] = 0.0
         out[x, x][np.arange(lens[x]), np.arange(lens[x])] = 1.0
-    return out
-
-
-@aot.persistent_jit(static_argnames=("N",))
-def _relax_bp_device(bp, mp, W, sum_w, *, N):
-    """All-sequence BP PCT in one XLA program (per-x einsums unrolled)."""
-    out = jnp.zeros_like(bp)
-    for x in range(N):
-        post = jnp.einsum(
-            "y,yki,ykl,ylj->ij", W[x], mp[:, x], bp, mp[:, x],
-            preferred_element_type=jnp.float32, precision="highest",
-        )
-        post = (post / sum_w[x]).astype(jnp.float32)
-        post = jnp.triu(post, 1)
-        post = jnp.where(post <= CUTOFF, 0.0, post)
-        out = out.at[x].set(post)
     return out
 
 
@@ -243,8 +302,12 @@ def relax_basepairing_probability(
     """PCT for base-pair posteriors: p'_x = sum_y w_y M_yx^T B_y M_yx."""
     N, L, _ = bp.shape
     f = np.float32
-    W = np.zeros((N, N), np.float32)
-    sum_w = np.ones(N, np.float32)
+    mesh = _maybe_mesh()
+    ndev = mesh.devices.size if mesh is not None else 1
+    B = _round_up(N, ndev)
+    xs = np.zeros(B, np.int32)
+    W = np.zeros((B, N), np.float32)
+    sum_w = np.ones(B, np.float32)
     for x in range(N):
         w = np.float32(sim[:, x]).copy()
         if w_pct_s < 0.0:
@@ -253,14 +316,16 @@ def relax_basepairing_probability(
             scale = np.full(N, f(w_pct_s) / f(N - 1) if N > 1 else f(0.0), np.float32)
             scale[x] = f(1.0 - w_pct_s)
             w = np.float32(w * scale)
+        xs[x] = x
         W[x] = w
         sum_w[x] = np.float32(np.sum(w, dtype=np.float32))
-    out = np.array(
-        _relax_bp_device(
-            jnp.asarray(bp), jnp.asarray(mp), jnp.asarray(W),
-            jnp.asarray(sum_w), N=N,
-        )
-    )
+    args = (jnp.asarray(bp), jnp.asarray(mp), jnp.asarray(xs),
+            jnp.asarray(W), jnp.asarray(sum_w))
+    if mesh is not None:
+        posts = np.asarray(_sharded_pct("bp", mesh)(*args))
+    else:
+        posts = np.asarray(_relax_bp_scan(*args))
+    out = posts[:N].copy()
     for x in range(N):
         out[x, lens[x]:, :] = 0.0
         out[x, :, lens[x]:] = 0.0

@@ -71,8 +71,7 @@ def enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a, for_ip=False):
     return np.stack([xi[a], xj[a], yk[b], yl[b]], axis=1).astype(np.int64)
 
 
-@aot.persistent_jit(static_argnames=("L1", "L2", "U", "t_max", "update_rule"))
-def _dd_device(
+def _dd_core(
     p_x, p_y, p_z, q_x0, q_y0, q_z0,
     in_cx, in_cy, in_cz,
     cbp, cbp_valid,
@@ -220,6 +219,130 @@ def _dd_device(
     out = jax.lax.while_loop(cond, body, init)
     (q_x, q_y, q_z, eta, c, s_prev, violated, t, x, y, z, done, _) = out
     return s_prev, t, violated, x, y, z
+
+
+@aot.persistent_jit(static_argnames=("L1", "L2", "U", "t_max", "update_rule"))
+def _dd_device(*args, L1, L2, U, t_max, update_rule="subgradient"):
+    return _dd_core(*args, L1=L1, L2=L2, U=U, t_max=t_max,
+                    update_rule=update_rule)
+
+
+@aot.persistent_jit(static_argnames=("L1", "L2", "U", "t_max", "update_rule"))
+def _dd_device_batch(*args, L1, L2, U, t_max, update_rule="subgradient"):
+    """vmap of the DD while_loop over a batch of independent merges.
+
+    Used by the layered progressive scheduler (pipeline._align): all merges
+    whose children are complete solve in ONE dispatch; JAX's while_loop
+    batching keeps per-merge early exit semantics (finished elements are
+    frozen via select), so each merge computes exactly what the unbatched
+    path computes."""
+    fn = functools.partial(
+        _dd_core, L1=L1, L2=L2, U=U, t_max=t_max, update_rule=update_rule
+    )
+    return jax.vmap(fn)(*args)
+
+
+def _prep_dd_problem(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, P1, P2, U):
+    """Pad one merge's inputs to (P1, P2, U); returns the _dd_core arg tuple
+    (minus the scalars shared across a batch)."""
+    f = np.float32
+    L1, L2 = p_z.shape
+    min_th_s = min(th_s)
+    cbp = enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a)
+    env = nw.envelope(p_z, th_a)
+
+    pxp = np.zeros((P1, P1), np.float32)
+    pxp[:L1, :L1] = p_x
+    pyp = np.zeros((P2, P2), np.float32)
+    pyp[:L2, :L2] = p_y
+    pzp = np.zeros((P1, P2), np.float32)
+    pzp[:L1, :L2] = p_z
+
+    cbp_pad = np.zeros((U, 4), np.int64)
+    cbp_pad[: len(cbp)] = cbp
+    cbp_valid = np.zeros(U, bool)
+    cbp_valid[: len(cbp)] = True
+
+    in_cx = np.zeros((P1, P1), bool)
+    in_cy = np.zeros((P2, P2), bool)
+    in_cz = np.zeros((P1, P2), bool)
+    if len(cbp):
+        in_cx[cbp[:, 0], cbp[:, 1]] = True
+        in_cy[cbp[:, 2], cbp[:, 3]] = True
+        in_cz[cbp[:, 0], cbp[:, 2]] = True
+        in_cz[cbp[:, 1], cbp[:, 3]] = True
+
+    envf = np.zeros(P1 + 1, np.int32)
+    envl = np.zeros(P1 + 1, np.int32)
+    envf[: L1 + 1] = env[:, 0]
+    envl[: L1 + 1] = env[:, 1]
+    envl[L1 + 1:] = L2
+
+    w_x = f(f(w) * 2 * n1 / (n1 + n2))
+    w_y = f(f(w) * 2 * n2 / (n1 + n2))
+    return (
+        pxp, pyp, pzp, in_cx, in_cy, in_cz, cbp_pad, cbp_valid, envf, envl,
+        np.int32(L1), np.int32(L2), w_x, w_y, f(4.0 * max(len(cbp), 1)),
+        len(cbp),
+    )
+
+
+def solve_by_dd_batch(problems, *, w, th_s, th_a, eta0, t_max,
+                      update_rule="subgradient"):
+    """Solve a batch of independent merges in one vmapped device dispatch.
+
+    problems: list of (p_x, p_y, p_z, n1, n2).  All are padded to the batch's
+    common (P1, P2, U) buckets.  Returns a list of (s, x, y, z) matching
+    solve_by_dd's outputs for each problem.
+    """
+    if len(problems) == 1:
+        p_x, p_y, p_z, n1, n2 = problems[0]
+        return [solve_by_dd(p_x, p_y, p_z, n1, n2, w=w, th_s=th_s, th_a=th_a,
+                            eta0=eta0, t_max=t_max, update_rule=update_rule)]
+    f = np.float32
+    P1 = max(_round_up(p[2].shape[0], 32) for p in problems)
+    P2 = max(_round_up(p[2].shape[1], 32) for p in problems)
+    preps = []
+    u_max = 1
+    for (p_x, p_y, p_z, n1, n2) in problems:
+        min_th_s = min(th_s)
+        cbp = enumerate_cbp(p_x, p_y, p_z, n1, n2, w, min_th_s, th_a)
+        u_max = max(u_max, len(cbp))
+    U = max(_round_up(u_max, 256), 256)
+    for (p_x, p_y, p_z, n1, n2) in problems:
+        preps.append(_prep_dd_problem(
+            p_x, p_y, p_z, n1, n2, w=w, th_s=th_s, th_a=th_a, P1=P1, P2=P2, U=U
+        ))
+    B = len(problems)
+    logger.debug("DD batch: B=%d P1=%d P2=%d U=%d", B, P1, P2, U)
+    stk = lambda k: jnp.asarray(np.stack([pr[k] for pr in preps]))  # noqa: E731
+    zeros = lambda shape: jnp.zeros((B,) + shape, jnp.float32)  # noqa: E731
+    s, t, violated, x, y, z = _dd_device_batch(
+        stk(0), stk(1), stk(2),
+        zeros((P1, P1)), zeros((P2, P2)), zeros((P1, P2)),
+        stk(3), stk(4), stk(5), stk(6), stk(7), stk(8), stk(9),
+        stk(10), stk(11), stk(12), stk(13),
+        jnp.full((B,), f(th_s[0])), jnp.full((B,), f(th_a)),
+        jnp.full((B,), f(eta0)), stk(14),
+        L1=P1, L2=P2, U=U, t_max=t_max, update_rule=update_rule,
+    )
+    s = np.asarray(s)
+    t = np.asarray(t)
+    violated = np.asarray(violated)
+    x = np.asarray(x)
+    y = np.asarray(y)
+    z = np.asarray(z)
+    out = []
+    for b, (p_x, p_y, p_z, n1, n2) in enumerate(problems):
+        L1, L2 = p_z.shape
+        logger.info("Step: %d, Violated: %d", int(t[b]), int(violated[b]))
+        out.append((
+            float(s[b]),
+            x[b, :L1].astype(np.int64),
+            y[b, :L2].astype(np.int64),
+            z[b, :L1].astype(np.int64),
+        ))
+    return out
 
 
 def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,

@@ -39,8 +39,64 @@ def _variables(p: np.ndarray, th: list[float], w: float | None, q: np.ndarray | 
     return out, wts
 
 
-def decode(p: np.ndarray, th, w=None, q=None):
-    """Returns (ss, bracket string). p: (L, L) averaged BP matrix."""
+def decompose_plevel(ss: np.ndarray) -> np.ndarray:
+    """Re-derive bracket levels by greedy graph coloring (src/ipknot.cpp:295-356).
+
+    Vertices are base pairs (indexed by left base); two pairs are adjacent iff
+    they cross.  Vertices are colored greedily in descending-degree order with
+    the smallest unused color, then colors are renumbered in descending order
+    of pair count per color.  Only left-end positions receive a level (the
+    reference leaves right ends at -1 after decomposition).
+    """
+    L = len(ss)
+    g: list[list[int]] = [[] for _ in range(L)]
+    for i in range(L):
+        j = int(ss[i])
+        if j < 0 or j <= i:
+            continue
+        for k in range(i + 1, L):
+            l = int(ss[k])
+            if l < 0 or l <= k:
+                continue
+            if k < j < l:
+                g[i].append(k)
+                g[k].append(i)
+    verts = [i for i in range(L) if int(ss[i]) > i]
+    verts.sort(key=lambda x: -len(g[x]))
+
+    c = np.full(L, -1, dtype=np.int64)
+    max_color = 0
+    for i in verts:
+        used = sorted({int(c[k]) for k in g[i] if c[k] >= 0})
+        col = 0
+        while col < len(used) and used[col] == col:
+            col += 1
+        c[i] = col
+        max_color = max(max_color, col)
+
+    count = np.zeros(max_color + 1, dtype=np.int64)
+    for i in range(L):
+        if c[i] >= 0:
+            count[c[i]] += 1
+    idx = sorted(range(len(count)), key=lambda x: -int(count[x]))
+    rev = np.zeros(len(idx), dtype=np.int64)
+    for r, x in enumerate(idx):
+        rev[x] = r
+    plevel = np.full(L, -1, dtype=np.int64)
+    for i in range(L):
+        if c[i] >= 0:
+            plevel[i] = rev[c[i]]
+    return plevel
+
+
+def decode(p: np.ndarray, th, w=None, q=None, levelwise: bool = True):
+    """Returns (ss, bracket string). p: (L, L) averaged BP matrix.
+
+    levelwise=True (reference default, src/ipknot.cpp:43): per-level planarity
+    and must-cross-lower constraints keep each bracket level planar.
+    levelwise=False: those constraints are dropped (src/ipknot.cpp:160) and
+    bracket levels are recomputed by greedy graph coloring (decompose_plevel).
+    """
     L = p.shape[0]
     P = len(th)
     th = list(th)
@@ -71,26 +127,27 @@ def decode(p: np.ndarray, th, w=None, q=None):
         if partners[i]:
             add_row([(k, 1.0) for k in partners[i]], -np.inf, 1.0)
 
-    # constraint 2: level-internal planarity (crossing pairs exclusive)
-    for lv in range(P):
-        lvl = by_level[lv]
-        for a in range(len(lvl)):
-            k1, i1, j1 = lvl[a]
-            for b in range(a + 1, len(lvl)):
-                k2, i2, j2 = lvl[b]
-                if (i1 < i2 < j1 < j2) or (i2 < i1 < j2 < j1):
-                    add_row([(k1, 1.0), (k2, 1.0)], -np.inf, 1.0)
+    if levelwise:
+        # constraint 2: level-internal planarity (crossing pairs exclusive)
+        for lv in range(P):
+            lvl = by_level[lv]
+            for a in range(len(lvl)):
+                k1, i1, j1 = lvl[a]
+                for b in range(a + 1, len(lvl)):
+                    k2, i2, j2 = lvl[b]
+                    if (i1 < i2 < j1 < j2) or (i2 < i1 < j2 < j1):
+                        add_row([(k1, 1.0), (k2, 1.0)], -np.inf, 1.0)
 
-    # constraint 3: each level-lv pair must be crossed by some pair at each
-    # lower level (src/ipknot.cpp:181-206)
-    for lv in range(1, P):
-        for (k, kk, ll) in by_level[lv]:
-            for plv in range(lv):
-                coeffs = [(k, -1.0)]
-                for (k2, i, j) in by_level[plv]:
-                    if (i < kk < j < ll) or (kk < i < ll < j):
-                        coeffs.append((k2, 1.0))
-                add_row(coeffs, 0.0, np.inf)
+        # constraint 3: each level-lv pair must be crossed by some pair at
+        # each lower level (src/ipknot.cpp:181-206)
+        for lv in range(1, P):
+            for (k, kk, ll) in by_level[lv]:
+                for plv in range(lv):
+                    coeffs = [(k, -1.0)]
+                    for (k2, i, j) in by_level[plv]:
+                        if (i < kk < j < ll) or (kk < i < ll < j):
+                            coeffs.append((k2, 1.0))
+                    add_row(coeffs, 0.0, np.inf)
 
     # stacking constraints: no isolated pairs (src/ipknot.cpp:209-246)
     for lv in range(P):
@@ -142,6 +199,8 @@ def decode(p: np.ndarray, th, w=None, q=None):
             if sol[k]:
                 ss[i] = j
                 plevel[i] = plevel[j] = lv
+    if not levelwise:
+        plevel = decompose_plevel(ss)
     s = ["."] * L
     for i in range(L):
         j = ss[i]

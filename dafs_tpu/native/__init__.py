@@ -43,6 +43,11 @@ def lib() -> ctypes.CDLL:
         L.sparse_nw_decode.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, i64p, i32p]
         L.similarity_score.restype = ctypes.c_float
         L.similarity_score.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32]
+        L.pairhmm_posterior.restype = ctypes.c_float
+        L.pairhmm_posterior.argtypes = [
+            i32p, ctypes.c_int32, i32p, ctypes.c_int32,
+            f32p, f32p, f32p, f32p, f32p,
+        ]
         _LIB = L
     return _LIB
 
@@ -76,3 +81,26 @@ def sparse_nw(sm: np.ndarray, env: np.ndarray):
 def similarity(mp: np.ndarray) -> float:
     mp = np.ascontiguousarray(mp, np.float32)
     return float(lib().similarity_score(mp, mp.shape[0], mp.shape[1]))
+
+
+def pairhmm_posterior(seq1: str, seq2: str):
+    """Scalar single-core ProbCons posterior (native C++; measured baseline
+    + large-L oracle for the batched TPU kernels).  Returns (total, post)."""
+    from dafs_tpu.models import probcons_params as P
+
+    t = P.log_tables()
+    L1, L2 = len(seq1), len(seq2)
+    c1 = np.zeros(L1 + 1, np.int32)
+    c2 = np.zeros(L2 + 1, np.int32)
+    c1[1:] = P.encode(seq1)
+    c2[1:] = P.encode(seq2)
+    post = np.empty((L1, L2), np.float32)
+    total = lib().pairhmm_posterior(
+        c1, L1, c2, L2,
+        np.ascontiguousarray(t["init"], np.float32),
+        np.ascontiguousarray(t["trans"], np.float32).reshape(-1),
+        np.ascontiguousarray(t["match"], np.float32).reshape(-1),
+        np.ascontiguousarray(t["ins"], np.float32),
+        post.reshape(-1),
+    )
+    return float(total), post

@@ -166,11 +166,9 @@ class Dafs:
 
     # -- merge ------------------------------------------------------------
 
-    def _align_alignments(self, aln1, aln2):
-        """One progressive merge (src/dafs.cpp:913-981). Returns (s, ss, aln)."""
-        import time as _time
-
-        _t0 = _time.perf_counter()
+    def _merge_inputs(self, aln1, aln2):
+        """Host prep of one merge: averaged p_x/p_y (with alifold mix and
+        optional bp-update) and p_z (src/dafs.cpp:913-934)."""
         p_x = self._avg_bp(aln1, self.o.use_alifold)
         if self.o.use_bp_update:
             ss0, str0 = self._decode_structure(p_x, self.o.th_s)
@@ -180,6 +178,22 @@ class Dafs:
             ss0, str0 = self._decode_structure(p_y, self.o.th_s)
             p_y = self._update_bp(p_y, ss0, str0, aln2, self.o.use_alifold)
         p_z = projection.average_matching_probability(self.mp, aln1, aln2)
+        return p_x, p_y, p_z
+
+    @staticmethod
+    def _merge_finish(x, y, z, aln1, aln2):
+        """Project one solved merge back to (ss, aln) (src/dafs.cpp:944-951)."""
+        aln = projection.project_alignment(aln1, aln2, z)
+        xx, yy = projection.project_secondary_structure(x, y, z)
+        ss = np.where(xx == yy, xx, -1)
+        return ss, aln
+
+    def _align_alignments(self, aln1, aln2):
+        """One progressive merge (src/dafs.cpp:913-981). Returns (s, ss, aln)."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        p_x, p_y, p_z = self._merge_inputs(aln1, aln2)
         _t1 = _time.perf_counter()
 
         if self.o.t_max == 0:
@@ -211,9 +225,7 @@ class Dafs:
             eta0=self.o.eta0, t_max=self.o.t_max,
         )
         _t2 = _time.perf_counter()
-        aln = projection.project_alignment(aln1, aln2, z)
-        xx, yy = projection.project_secondary_structure(x, y, z)
-        ss = np.where(xx == yy, xx, -1)
+        ss, aln = self._merge_finish(x, y, z, aln1, aln2)
         logger.info(
             "merge N1=%d N2=%d L=%d: avg+alifold %.2fs, solve %.2fs, project %.2fs",
             len(aln1), len(aln2), len(aln[0].mask),
@@ -221,13 +233,80 @@ class Dafs:
         )
         return s, ss, aln
 
+    def _can_batch_merges(self) -> bool:
+        """The layered batched solver only covers the plain device-DD path;
+        ILP / IPknot / verbose host loops keep the recursive schedule."""
+        return (
+            self.o.t_max > 0
+            and self.o.fold_decoder != "IPknot"
+            and self.o.verbose < 2
+        )
+
     def _align(self, node: int):
+        """Progressive alignment under `node` (src/dafs.cpp:1499-1537).
+
+        The reference recursion is strictly serial; here independent merges
+        whose children are both complete are solved together in ONE vmapped
+        DD dispatch per layer (wall-clock = depth of the tree, not the number
+        of merges), with per-merge results identical to the serial path."""
         score, (l, r) = self.tree[node]
         if l == -1:
             return 0.0, None, [AlnRow(node, np.ones(len(self.fa[node]), dtype=bool))]
-        _, _, aln1 = self._align(l)
-        _, _, aln2 = self._align(r)
-        return self._align_alignments(aln1, aln2)
+        if not self._can_batch_merges():
+            _, _, aln1 = self._align(l)
+            _, _, aln2 = self._align(r)
+            return self._align_alignments(aln1, aln2)
+
+        import time as _time
+
+        # state per completed node: (s, ss, aln)
+        state: dict[int, tuple] = {}
+        internal = []
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            _sc, (a, b) = self.tree[n]
+            if a == -1:
+                state[n] = (
+                    0.0, None,
+                    [AlnRow(n, np.ones(len(self.fa[n]), dtype=bool))],
+                )
+            else:
+                internal.append(n)
+                stack += [a, b]
+        pending = set(internal)
+        while pending:
+            layer = [
+                n for n in sorted(pending)
+                if self.tree[n][1][0] in state and self.tree[n][1][1] in state
+            ]
+            _t0 = _time.perf_counter()
+            probs = []
+            alns = []
+            for n in layer:
+                _sc, (a, b) = self.tree[n]
+                aln1, aln2 = state[a][2], state[b][2]
+                p_x, p_y, p_z = self._merge_inputs(aln1, aln2)
+                probs.append((p_x, p_y, p_z, len(aln1), len(aln2)))
+                alns.append((aln1, aln2))
+            _t1 = _time.perf_counter()
+            sols = dd.solve_by_dd_batch(
+                probs,
+                w=self.o.w, th_s=list(self.o.th_s), th_a=self.o.th_a,
+                eta0=self.o.eta0, t_max=self.o.t_max,
+                update_rule=self.o.dd_update,
+            )
+            _t2 = _time.perf_counter()
+            for n, (s, x, y, z), (aln1, aln2) in zip(layer, sols, alns):
+                ss, aln = self._merge_finish(x, y, z, aln1, aln2)
+                state[n] = (s, ss, aln)
+                pending.discard(n)
+            logger.info(
+                "merge layer (%d merges): avg+alifold %.2fs, solve %.2fs, "
+                "project %.2fs",
+                len(layer), _t1 - _t0, _t2 - _t1, _time.perf_counter() - _t2,
+            )
+        return state[node]
 
     def _refine(self, ss, aln):
         """Random bipartition refinement (src/dafs.cpp:1539-1576)."""

@@ -86,3 +86,30 @@ def test_dd_update_rules_converge():
         if base is None:
             base = (list(x), list(y), list(z))
         assert (list(x), list(y), list(z)) == base, rule
+
+
+def test_solve_by_dd_batch_matches_serial():
+    """The vmapped layered solver must reproduce the serial per-merge path."""
+    rng = np.random.default_rng(3)
+
+    def prob(L1, L2):
+        p_x = np.triu(rng.random((L1, L1)).astype(np.float32) * 0.5, 1)
+        p_y = np.triu(rng.random((L2, L2)).astype(np.float32) * 0.5, 1)
+        p_z = rng.random((L1, L2)).astype(np.float32) * 0.6
+        p_x[p_x <= 0.01] = 0
+        p_y[p_y <= 0.01] = 0
+        p_z[p_z <= 0.01] = 0
+        return p_x, p_y, p_z
+
+    kw = dict(w=4.0, th_s=[0.2], th_a=0.01, eta0=0.5, t_max=40)
+    problems = []
+    for (L1, L2, n1, n2) in [(18, 21, 1, 1), (25, 23, 2, 1), (30, 30, 3, 2)]:
+        p_x, p_y, p_z = prob(L1, L2)
+        problems.append((p_x, p_y, p_z, n1, n2))
+    serial = [dd.solve_by_dd(*p, **kw) for p in problems]
+    batched = dd.solve_by_dd_batch(problems, **kw)
+    for (s0, x0, y0, z0), (s1, x1, y1, z1) in zip(serial, batched):
+        assert s0 == s1
+        np.testing.assert_array_equal(x0, x1)
+        np.testing.assert_array_equal(y0, y1)
+        np.testing.assert_array_equal(z0, z1)

@@ -46,3 +46,51 @@ def test_ipknot_crossing_requirement():
         p[k, 12 - k] = 0.15  # below level-0 th 0.2, above level-1 th 1/9
     ss, s, _score = ipknot.decode(p, [0.2, 1 / 9.0])
     assert (ss < 0).all(), s
+
+
+def _ss_from_pairs(L, pairs):
+    ss = np.full(L, -1, dtype=np.int64)
+    for i, j in pairs:
+        ss[i] = j
+    return ss
+
+
+def test_decompose_plevel_three_mutually_crossing():
+    # three 2-pair helices, each pair of helices crossing -> 3 colors
+    pairs = [(0, 14), (1, 13), (4, 20), (5, 19), (8, 26), (9, 25)]
+    ss = _ss_from_pairs(30, pairs)
+    plevel = ipknot.decompose_plevel(ss)
+    assert plevel[0] == plevel[1] == 0
+    assert plevel[4] == plevel[5] == 1
+    assert plevel[8] == plevel[9] == 2
+    # only left ends are leveled after decomposition (src/ipknot.cpp:351-355)
+    assert plevel[13] == -1 and plevel[19] == -1 and plevel[25] == -1
+
+
+def test_decompose_plevel_nested_single_color():
+    ss = _ss_from_pairs(12, [(0, 11), (1, 10), (3, 8)])
+    plevel = ipknot.decompose_plevel(ss)
+    assert plevel[0] == plevel[1] == plevel[3] == 0
+
+
+def test_decompose_plevel_color_renumbering():
+    # level counts decide final numbering: the color with more pairs becomes 0
+    # one pair (0,6) crossing a 3-pair helix (2..4 with 12..10)
+    ss = _ss_from_pairs(14, [(0, 6), (2, 12), (3, 11), (4, 10)])
+    plevel = ipknot.decompose_plevel(ss)
+    # vertex 0 has degree 3 (crosses all of helix B), colored first -> color 0;
+    # helix B gets color 1; renumbering by count (3 > 1) swaps them
+    assert plevel[2] == plevel[3] == plevel[4] == 0
+    assert plevel[0] == 1
+
+
+def test_ipknot_decode_non_levelwise():
+    # without per-level planarity constraints, all positive pairs survive and
+    # greedy coloring rebuilds the bracket levels
+    L = 30
+    p = np.zeros((L, L), np.float32)
+    for i, j in [(0, 14), (1, 13), (4, 20), (5, 19), (8, 26), (9, 25)]:
+        p[i, j] = 0.9
+    ss, s, score = ipknot.decode(p, [0.2, 0.1, 0.05], levelwise=False)
+    assert ss[0] == 14 and ss[4] == 20 and ss[8] == 26
+    assert s == "((..[[..{{...))....]]....}}...", s

@@ -49,3 +49,20 @@ def test_native_similarity_matches_device(seed):
     got = native.similarity(p)
     want = consistency.similarity(p, p > 0, L1, L2)
     assert abs(got - want) < 1e-6
+
+
+def test_native_pairhmm_matches_scan_path():
+    """The scalar C++ pair-HMM (measured-baseline + oracle) agrees with the
+    batched wavefront kernel to float-reassociation level."""
+    import numpy as np
+
+    from dafs_tpu import fasta, native
+    from dafs_tpu.ops import pairhmm
+
+    fa = fasta.load_fasta("/root/reference/examples/RF00005:0.fa")
+    for a, b in [(0, 1), (2, 7), (4, 9)]:
+        s1, s2 = fa[a].seq, fa[b].seq
+        _total, post = native.pairhmm_posterior(s1, s2)
+        ref = pairhmm.batch_posteriors([s1], [s2], 0.0)[0]
+        assert post.shape == ref.shape
+        assert float(np.abs(post - ref).max()) < 1e-4

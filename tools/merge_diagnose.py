@@ -19,84 +19,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FASTA = "/root/reference/examples/RF00005:0.fa"
-
-
-def load_golden_rows():
-    lines = open("/root/reference/README.md").read().splitlines()
-    block = [l[1:] for l in lines if l.startswith("\t")]
-    start = next(i for i, l in enumerate(block) if l.startswith("% dafs"))
-    block = block[start:]
-    rows = {}
-    i = 4
-    while i + 1 < len(block) and block[i].startswith("> "):
-        rows[block[i][2:]] = block[i + 1]
-        i += 2
-    return rows
-
-
-def restrict(rows_by_id, ids):
-    """Golden alignment restricted to ids, all-gap columns stripped.
-    Returns {seq_id: bool mask}."""
-    sub = {i: np.array([c != "-" for c in rows_by_id[i]]) for i in ids}
-    keep = np.zeros(len(next(iter(sub.values()))), dtype=bool)
-    for m in sub.values():
-        keep |= m
-    return {i: m[keep] for i, m in sub.items()}
-
-
-def setup_engine():
-    """Build the pipeline engine through the PCT stage (bit-exact tree)."""
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
-    from dafs_tpu import consistency, fasta, guide_tree, pipeline
-    from dafs_tpu.models import align_models, fold_models
-    from dafs_tpu.typedefs import CUTOFF
-
-    fa = fasta.load_fasta(FASTA)
-    golden = load_golden_rows()
-    name2id = {f.name: i for i, f in enumerate(fa)}
-    rows_by_id = {name2id[n]: r for n, r in golden.items()}
-
-    from dafs_tpu.ops import alifold as alifold_ops
-
-    opts = pipeline.Options()
-    eng = pipeline.Dafs(
-        align_models.ProbCons(opts.th_a),
-        fold_models.RNAfold(True, CUTOFF),
-        opts,
-        alifold_model=alifold_ops.Alifold(0.0, bl=True),
-    )
-    eng.fa = fa
-    lens = [len(f) for f in fa]
-    eng.bp = eng.s_model.all_seqs(fa)
-    eng.mp = eng.a_model.all_pairs(fa)
-    sim = consistency.similarity_matrix(eng.mp, lens)
-    if opts.w_pct_s != 0.0:
-        eng.bp = consistency.relax_basepairing_probability(
-            eng.bp, eng.mp, sim, lens, opts.w_pct_s
-        )
-    if opts.w_pct_a != 0.0:
-        eng.mp = consistency.relax_matching_probability(
-            eng.mp, sim, lens, opts.w_pct_a
-        )
-    eng.tree = guide_tree.build_tree(sim)
-
-    # post-order walk: leaf ids under each node
-    tree = eng.tree
-    leaves = {}
-
-    def collect(node):
-        score, (l, r) = tree[node]
-        if l == -1:
-            leaves[node] = [node]
-            return [node]
-        leaves[node] = collect(l) + collect(r)
-        return leaves[node]
-
-    collect(len(tree) - 1)
-    return eng, fa, rows_by_id, leaves
+from tests.golden_rf00005 import FASTA, load_golden_rows, restrict, setup_engine  # noqa: E402
 
 
 def deep_dive(node: int) -> None:
