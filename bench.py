@@ -34,7 +34,7 @@ def measure_native_baseline(seqs1, seqs2, reps=3) -> float:
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
+    from dafs_tpu.utils.aot import setup_compile_cache; setup_compile_cache()
     import dafs_tpu
     from dafs_tpu.models import probcons_params as PP
     from dafs_tpu.ops import pairhmm
@@ -131,6 +131,28 @@ def main() -> None:
     # measured single-core baseline: native C++ scalar pair-HMM on the same
     # RF00005 all-pairs workload
     ref_cells_per_s = measure_native_baseline(seqs1, seqs2)
+
+    # end-to-end RF00005 default pipeline (guide tree + layered DD merges +
+    # final alifold decode); warm = in-process rerun (steady-state serving)
+    from dafs_tpu import pipeline
+    from dafs_tpu.models import align_models, fold_models
+    from dafs_tpu.ops import alifold as ali_mod
+    from dafs_tpu.typedefs import CUTOFF
+
+    def run_e2e():
+        opts = pipeline.Options()
+        eng = pipeline.Dafs(
+            align_models.ProbCons(opts.th_a),
+            fold_models.RNAfold(True, CUTOFF),
+            opts,
+            alifold_model=ali_mod.Alifold(0.0, bl=True),
+        )
+        t0 = time.perf_counter()
+        eng.run(fa)
+        return time.perf_counter() - t0
+
+    e2e_cold = run_e2e()
+    e2e_warm = run_e2e()
     print(
         json.dumps(
             {
@@ -147,6 +169,8 @@ def main() -> None:
                     "mccaskill_stencil_terms_per_s": round(fold_cells / dt_fold, 1),
                     "alifold_consensus_s_per_call": round(dt_ali, 4),
                     "baseline_cells_per_s_measured_native_cpp": round(ref_cells_per_s, 1),
+                    "rf00005_e2e_first_s": round(e2e_cold, 2),
+                    "rf00005_e2e_warm_s": round(e2e_warm, 2),
                     "backend": jax.devices()[0].platform,
                 },
             }

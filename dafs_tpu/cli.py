@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "traces require a locally attached accelerator")
     p.add_argument("--save-fold-aux", metavar="FILENAME",
                    help="dump base-pair posteriors (reloadable via --fold-aux)")
+    p.add_argument("-P", "--param-file", metavar="FILE", default=None,
+                   help="ViennaRNA v2.0 energy parameter file; every table it"
+                        " contains overrides the built-in set (the RNAfold -P"
+                        " equivalent — e.g. rna_turner2004.par gives the exact"
+                        " Turner-2004 model for -s Vienna)")
     return p
 
 
@@ -114,17 +119,22 @@ def main(argv=None) -> int:
     if not os.path.exists(args.input):
         print(f"{args.input}: No such file or directory", file=sys.stderr)
         return 1
+    if args.param_file:
+        from dafs_tpu.ops.param_file import apply_param_file
+
+        apply_param_file(args.param_file)
 
     # heavy imports only after successful argument parsing
     import jax
 
     # persistent compile cache: the kernels are re-jitted per (length-bucket,
     # group-size) combination; caching the executables across processes turns
-    # repeat runs from minutes of XLA compilation into seconds
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("DAFS_TPU_COMPILE_CACHE", "/tmp/dafs_tpu_jax_cache"),
-    )
+    # repeat runs from minutes of XLA compilation into seconds.  The dir is
+    # fingerprinted by host CPU features (aot.compile_cache_dir): XLA:CPU AOT
+    # artifacts SIGILL/segfault when loaded on a different machine.
+    from dafs_tpu.utils.aot import setup_compile_cache
+
+    setup_compile_cache()
     # NOTE: leave jax_persistent_cache_min_compile_time_secs at its default
     # (1s).  Setting it to 0 makes the cache serialize EVERY executable; on
     # the TPU backend, executable serialization of the big DP kernels is

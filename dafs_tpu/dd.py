@@ -313,17 +313,22 @@ def solve_by_dd_batch(problems, *, w, th_s, th_a, eta0, t_max,
         preps.append(_prep_dd_problem(
             p_x, p_y, p_z, n1, n2, w=w, th_s=th_s, th_a=th_a, P1=P1, P2=P2, U=U
         ))
+    # bucket the batch axis to the next power of two (pad with copies of the
+    # first problem, results discarded) so a deep guide tree reuses a handful
+    # of compiled batch shapes instead of one per distinct layer width
     B = len(problems)
-    logger.debug("DD batch: B=%d P1=%d P2=%d U=%d", B, P1, P2, U)
+    Bp = 1 << (B - 1).bit_length()
+    preps += [preps[0]] * (Bp - B)
+    logger.debug("DD batch: B=%d (pad %d) P1=%d P2=%d U=%d", B, Bp, P1, P2, U)
     stk = lambda k: jnp.asarray(np.stack([pr[k] for pr in preps]))  # noqa: E731
-    zeros = lambda shape: jnp.zeros((B,) + shape, jnp.float32)  # noqa: E731
+    zeros = lambda shape: jnp.zeros((Bp,) + shape, jnp.float32)  # noqa: E731
     s, t, violated, x, y, z = _dd_device_batch(
         stk(0), stk(1), stk(2),
         zeros((P1, P1)), zeros((P2, P2)), zeros((P1, P2)),
         stk(3), stk(4), stk(5), stk(6), stk(7), stk(8), stk(9),
         stk(10), stk(11), stk(12), stk(13),
-        jnp.full((B,), f(th_s[0])), jnp.full((B,), f(th_a)),
-        jnp.full((B,), f(eta0)), stk(14),
+        jnp.full((Bp,), f(th_s[0])), jnp.full((Bp,), f(th_a)),
+        jnp.full((Bp,), f(eta0)), stk(14),
         L1=P1, L2=P2, U=U, t_max=t_max, update_rule=update_rule,
     )
     s = np.asarray(s)
@@ -461,23 +466,22 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
     y = np.full(L2, -1, np.int64)
     z = np.full(L1, -1, np.int64)
     violated = 0
-    envf = jnp.asarray(env[:, 0].astype(np.int32))
-    envl = jnp.asarray(env[:, 1].astype(np.int32))
+    from dafs_tpu import native
 
     for t in range(t_max):
         if structure_decoder == "ipknot":
             x, _str1, s1 = ipknot.decode(p_x, th_s, w=w_x, q=q_x)
             y, _str2, s2 = ipknot.decode(p_y, th_s, w=w_y, q=q_y)
         else:
-            from dafs_tpu import native
-
             sm_x = np.float32(w_x * (p_x - f(th_s[0])) - q_x)
             s1, x = native.sparse_nussinov(sm_x)
             sm_y = np.float32(w_y * (p_y - f(th_s[0])) - q_y)
             s2, y = native.sparse_nussinov(sm_y)
+        # native banded NW (bit-exact mirror of the device decode, and the
+        # whole loop stays on host — no per-iteration device dispatch)
         sm_z = np.float32(p_z - f(th_a) + q_z)
-        s3, z_j = nw.decode(jnp.asarray(sm_z), envf, envl, L1=L1, L2=L2)
-        z = np.asarray(z_j).astype(np.int64)
+        s3, z = native.sparse_nw(sm_z, env)
+        z = z.astype(np.int64)
         if verbose_cb is not None:
             verbose_cb(x, y, z)
         s = f(f(s1) + f(s2) + float(s3))

@@ -668,17 +668,28 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # row contributes exactly 1.0 everywhere: its A-group OUT/IN planes
         # are 0, its loop sizes are 0 (a2s = 0 -> m00 = 1), and its pair
         # codes select stack[NN][NN], whose Boltzmann factor is exactly 1.0
-        # (boltzmann_param.c NST = 0); x * 1.0 is exact in f32, so results
-        # are bitwise identical to the unpadded call.  Consensus planes
+        # (boltzmann_param.c NST = 0).  Each 1.0 multiply is exact in f32,
+        # but the wider prod-over-NS reduction TREE pairs the real factors
+        # differently, so results agree only to ~1 ulp (tested at rtol 1e-6
+        # in tests/test_alifold_fast.py) — which is why bucketing stays OFF
+        # for the <=10-seq golden families.  Consensus planes
         # (HP/EXT/MLSTEM/MLCLOSE/pscores) and the host scalars (kTn tables,
         # expMLbase^n_seq) keep the TRUE n_seq.
-        # Default: exact NS (pad rows cost device time; at N<=10 groups the
-        # trace savings don't pay for it).  For large families, set
-        # DAFS_TPU_NS_BUCKETS=1 to cap the number of traced/compiled
-        # (length, group-size) kernel shapes at log2(N).
+        # Default: exact NS for small groups (pad rows cost device time, and
+        # the 10-seq benchmark families keep their exact shapes), power-of-two
+        # bucketing above that — a 50-seq family's progressive merges would
+        # otherwise trace/compile one kernel per distinct group size.
+        # DAFS_TPU_NS_BUCKETS=1/0 forces bucketing on/off.
         import os as _os
 
-        if _os.environ.get("DAFS_TPU_NS_BUCKETS"):
+        _knob = _os.environ.get("DAFS_TPU_NS_BUCKETS")
+        if _knob == "0":
+            bucket = False
+        elif _knob:
+            bucket = True
+        else:
+            bucket = NS > 10
+        if bucket:
             NS_pad = 2
             while NS_pad < NS:
                 NS_pad *= 2
@@ -733,14 +744,32 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             _t1 = _time.perf_counter()
             jax.block_until_ready((planes_j, loop_j, spec_j, psc_j, S5b, S3b, A2Sb))
             _t2 = _time.perf_counter()
+        # XLA:CPU's executable.serialize() segfaults on this kernel's large
+        # consensus executables (observed repeatedly in the test suite, jax
+        # compilation_cache.put_executable_and_time), so persistent-cache
+        # WRITES are suppressed for its compiles on the CPU backend; reads
+        # and every other kernel's caching are unaffected, and the TPU
+        # backend serializes these executables fine.
+        _no_persist = jax.default_backend() == "cpu"
+        _old_min = jax.config.jax_persistent_cache_min_compile_time_secs
         for _ in range(24):
             # alifold_fast goes through the persistent AOT trace cache
             # (utils/aot.py): warm processes skip ~5s/shape of tracing
-            pout, Q = ak.alifold_fast(
-                planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
-                S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,
-                L=L, NS=NS,
-            )
+            if _no_persist:
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1e9
+                )
+            try:
+                pout, Q = ak.alifold_fast(
+                    planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
+                    S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,
+                    L=L, NS=NS,
+                )
+            finally:
+                if _no_persist:
+                    jax.config.update(
+                        "jax_persistent_cache_min_compile_time_secs", _old_min
+                    )
             Qv = float(Q)
             if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
                 ok = True

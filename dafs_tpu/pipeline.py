@@ -43,6 +43,7 @@ class Options:
     save_align_aux: str | None = None  # dump MP matrices (reference text format)
     save_fold_aux: str | None = None   # dump BP matrices
     dd_update: str = "subgradient"  # or "adagrad" / "adam" (src/dafs.cpp:67-69)
+    dd_host: bool = False  # host-loop DD with native C++ decoders (replay anchor)
 
 
 class Dafs:
@@ -217,6 +218,12 @@ class Dafs:
                     self._output_verbose, aln1=aln1, aln2=aln2
                 ),
             )
+        elif self.o.dd_host:
+            # host-loop DD with native decoders: device-kernel-independent
+            # (the RF00017 frozen-posterior replay anchor runs this path)
+            solver = functools.partial(
+                dd.solve_by_dd_ipknot, structure_decoder="nussinov"
+            )
         else:
             solver = functools.partial(dd.solve_by_dd, update_rule=self.o.dd_update)
         s, x, y, z = solver(
@@ -240,6 +247,7 @@ class Dafs:
             self.o.t_max > 0
             and self.o.fold_decoder != "IPknot"
             and self.o.verbose < 2
+            and not self.o.dd_host
         )
 
     def _align(self, node: int):

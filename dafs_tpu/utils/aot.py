@@ -31,6 +31,35 @@ _lock = threading.Lock()
 _srchash_memo: dict = {}
 
 
+def compile_cache_dir() -> str:
+    """Host-keyed persistent XLA compile-cache path.
+
+    XLA:CPU AOT artifacts embed the build host's CPU feature set and can
+    SIGILL/segfault when loaded on a machine with different features (the
+    jax cache key does not cover host CPU flags), so the directory is
+    fingerprinted by platform + /proc/cpuinfo flags."""
+    base = os.environ.get("DAFS_TPU_COMPILE_CACHE", "/tmp/dafs_tpu_jax_cache")
+    try:
+        import platform as _pl
+
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    flags = ln
+                    break
+        fp = hashlib.sha256((_pl.machine() + flags).encode()).hexdigest()[:10]
+    except Exception:
+        fp = "generic"
+    return f"{base}_{fp}"
+
+
+def setup_compile_cache() -> str:
+    d = compile_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", d)
+    return d
+
+
 def cache_dir() -> str:
     d = os.environ.get(
         "DAFS_TPU_AOT_CACHE",

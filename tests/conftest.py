@@ -14,5 +14,6 @@ import jax  # noqa: E402
 # The shell env pins JAX_PLATFORMS=axon (real TPU); os.environ alone does not
 # reliably override it, so force the CPU backend through the config API.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
+from dafs_tpu.utils import aot as _aot
+_aot.setup_compile_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

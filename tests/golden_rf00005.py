@@ -48,7 +48,7 @@ def setup_engine():
     """
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
+    from dafs_tpu.utils.aot import setup_compile_cache; setup_compile_cache()
     from dafs_tpu import consistency, fasta, guide_tree, pipeline
     from dafs_tpu.models import align_models, fold_models
     from dafs_tpu.ops import alifold as alifold_ops

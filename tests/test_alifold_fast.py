@@ -37,3 +37,30 @@ def test_fast_with_constraint():
     slow = alifold.consensus_bp(seqs, 0.0, constraint=con, fast=False)
     fast = alifold.consensus_bp(seqs, 0.0, constraint=con, fast=True)
     np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=1e-6)
+
+
+def test_ns_bucketing_neutral(monkeypatch):
+    """NS-bucketing (NS>10 pads to the next power of two with neutral rows)
+    matches the exact-NS call to reduction-tree reassociation level (~1 ulp:
+    pad rows multiply by exactly 1.0, but the wider prod-over-NS tree pairs
+    the real factors differently)."""
+    import numpy as np
+
+    from dafs_tpu.ops import alifold
+
+    rng = np.random.default_rng(5)
+    base = "GGGCAACGACGUUCGUCGAAACCCGGAUCC"
+    rows = []
+    for s in range(10):
+        row = list(base)
+        for k in rng.integers(0, len(base), 3):
+            row[k] = "-" if rng.random() < 0.4 else str(rng.choice(list("ACGU")))
+        rows.append("".join(row))
+
+    monkeypatch.setenv("DAFS_TPU_NS_BUCKETS", "0")
+    exact = np.asarray(alifold.consensus_bp(rows, 0.0))
+    monkeypatch.setenv("DAFS_TPU_NS_BUCKETS", "1")
+    alifold._EXP_CACHE.clear()
+    bucketed = np.asarray(alifold.consensus_bp(rows, 0.0))
+    np.testing.assert_allclose(bucketed, exact, rtol=1e-6, atol=1e-7)
+    assert ((exact > 0) == (bucketed > 0)).all()

@@ -1,0 +1,84 @@
+"""RF00017 frozen-posterior replay anchor (BASELINE.md correctness anchor 2).
+
+Several RF00017 DD merges hit the 600-iteration cap without converging
+(the reference's own `-m 600` cap behaves the same way), which makes the
+decoded output sensitive to f32 reduction order in the device kernels.  This
+test therefore locks the *host* path on *frozen device outputs*: posteriors
+(mp/bp after PCT), the similarity matrix, and every alifold consensus matrix
+are loaded from tests/snapshots/rf00017_replay.npz (recorded by
+tools/freeze_rf00017.py); the progressive phase replays with the host-loop
+DD solver and native C++ decoders.  Everything executed here is
+deterministic host math, so the assertion is exact and invariant to any
+device-kernel refactor.  Kernel-output drift is covered separately by the
+per-kernel oracle tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+SNAP = os.path.join(os.path.dirname(__file__), "snapshots", "rf00017_replay.npz")
+FASTA = "/root/reference/examples/RF00017:4.fa"
+
+
+@pytest.mark.skipif(not os.path.exists(SNAP), reason="snapshot not recorded")
+def test_rf00017_frozen_replay():
+    from dafs_tpu import fasta, guide_tree, pipeline
+    from dafs_tpu.models import align_models, fold_models
+    from dafs_tpu.typedefs import CUTOFF, gapped_seq
+
+    data = np.load(SNAP)
+    fa = fasta.load_fasta(FASTA)
+    assert [f.name for f in fa] == list(data["names"])
+
+    calls = iter(range(int(data["n_ali_calls"])))
+
+    import hashlib
+
+    def aln_key(aln, constraint=None) -> str:
+        h = hashlib.sha256()
+        for row in aln:
+            h.update(str(row.seq_id).encode())
+            h.update(np.asarray(row.mask, np.uint8).tobytes())
+        if constraint:
+            h.update(constraint.encode())
+        return h.hexdigest()[:16]
+
+    class ReplayAlifold:
+        def consensus_bp(self, aln, fa_, constraint=None):
+            i = next(calls)
+            assert str(data[f"ali_key_{i}"]) == aln_key(aln, constraint), (
+                f"alifold call {i} diverged from the recorded trace"
+            )
+            return data[f"ali_out_{i}"]
+
+    opts = pipeline.Options(dd_host=True)
+    eng = pipeline.Dafs(
+        align_models.ProbCons(opts.th_a),
+        fold_models.RNAfold(True, CUTOFF),
+        opts,
+        alifold_model=ReplayAlifold(),
+    )
+    eng.fa = fa
+    eng.mp = data["mp"]
+    eng.bp = data["bp"]
+    eng.tree = guide_tree.build_tree(data["sim"])
+
+    s, ss, aln = eng._align(len(eng.tree) - 1)
+    p = eng._avg_bp(aln, use_alifold=True)
+    ss, sstr = eng._decode_structure(p, eng.o.th_s1)
+
+    expected = str(data["output"])
+    exp_lines = expected.splitlines()
+    # the frozen text is: tree line, >SS_cons, brackets, then (name, row)*
+    assert exp_lines[1] == ">SS_cons"
+    assert sstr == exp_lines[2]
+    rows = {r.seq_id: gapped_seq(fa[r.seq_id].seq, r.mask) for r in aln}
+    exp_rows = dict(zip(exp_lines[3::2], exp_lines[4::2]))
+    for r in sorted(rows):
+        assert rows[r] == exp_rows["> " + fa[r].name]
+    # tree replay must match too
+    assert guide_tree.print_tree(eng.tree, [f.name for f in fa]) == exp_lines[0]

@@ -121,9 +121,10 @@ def run_variant(name: str, apply) -> None:
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
+    from dafs_tpu.utils.aot import setup_compile_cache; setup_compile_cache()
     want = variants()
     want.update(extra_variants())
+    want.update(grid_variants())
     names = sys.argv[1:] or list(want)
     for name in names:
         run_variant(name, want[name])
@@ -166,7 +167,62 @@ def extra_variants():
                 {"mismatchM": np.zeros_like(ep.MISMATCH_EXT_T04)}
             ),
         ),
+        # 1xN / 2x3 interior mismatches replaced by the full interior
+        # mismatch table (the other plausible Vienna construction)
+        "mm1n_mmI": lambda: ep.set_param_overrides(
+            {"mismatch1nI": t["mismatchI37"]}
+        ),
+        "mm23_mmI": lambda: ep.set_param_overrides(
+            {"mismatch23I": t["mismatchI37"]}
+        ),
+        # 1xN closure penalty at 50 (TerminalAU-equal) instead of 70
+        "mm1n_50": lambda: ep.set_param_overrides(
+            {"mismatch1nI": np.where(ep.MISMATCH_1NI_T04 != 0, 50, 0).astype(np.int32)}
+        ),
+        # mismatchM/Ext clamped at 0 per dangle before summing (an alternative
+        # parameter-file construction: min(d5,0)+min(d3,0) == plain sum here,
+        # so instead try clamping the SUM at each dangle's floor)
+        "mmM_min_d": lambda: ep.set_param_overrides(
+            {"mismatchM": np.minimum(
+                np.broadcast_to(ep._T04_DANGLE5[:, :, None], (8, 5, 5)),
+                np.broadcast_to(ep._T04_DANGLE3[:, None, :], (8, 5, 5)),
+            ).astype(np.int32)}
+        ),
     }
+
+
+def _mmM_alpha(alpha: float):
+    """mismatchM = d5 + alpha*d3 (alpha=1 is the base reconstruction;
+    alpha=0 is the d5-only probe that fixed node 12 but broke 11)."""
+    from dafs_tpu.ops import energy_params as ep
+
+    m = (
+        ep._T04_DANGLE5[:, :, None].astype(np.float64)
+        + alpha * ep._T04_DANGLE3[:, None, :].astype(np.float64)
+    )
+    return np.round(m).astype(np.int32)
+
+
+def grid_variants():
+    from dafs_tpu.ops import energy_params as ep
+
+    out = {}
+    for tau in (70, 90, 100, 105):
+        out[f"tau_{tau}"] = (
+            lambda tau=tau: ep.set_param_overrides({"terminal_au": tau})
+        )
+    for a in (0.25, 0.5, 0.75):
+        out[f"mmM_a{a}"] = (
+            lambda a=a: ep.set_param_overrides({"mismatchM": _mmM_alpha(a)})
+        )
+    for tau in (56, 70, 85, 100, 115):
+        for a in (0.3, 0.4, 0.5, 0.6, 0.75, 1.0):
+            out[f"g_t{tau}_a{a}"] = (
+                lambda tau=tau, a=a: ep.set_param_overrides(
+                    {"terminal_au": tau, "mismatchM": _mmM_alpha(a)}
+                )
+            )
+    return out
 
 
 if __name__ == "__main__":

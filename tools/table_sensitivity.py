@@ -67,7 +67,7 @@ def variants():
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dafs_tpu_jax_cache")
+    from dafs_tpu.utils.aot import setup_compile_cache; setup_compile_cache()
     import dafs_tpu
     from dafs_tpu.ops import energy_params as ep
 
