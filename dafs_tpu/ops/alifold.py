@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import time as _time
 
 import jax
@@ -48,6 +49,10 @@ DM = np.array(
 
 _EXP_CACHE: dict = {}
 _SC_CACHE: dict = {}  # (n_seq, L_bucket) -> last successful pf scale
+# Guards the (global) jax.config persistent-cache toggle below when merge
+# prep runs multi-threaded (pipeline._align overlaps per-merge consensus
+# calls); only the CPU backend takes this lock.
+_CFG_LOCK = threading.Lock()
 
 
 def _special_hp() -> bool:
@@ -751,25 +756,34 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # and every other kernel's caching are unaffected, and the TPU
         # backend serializes these executables fine.
         _no_persist = jax.default_backend() == "cpu"
-        _old_min = jax.config.jax_persistent_cache_min_compile_time_secs
-        for _ in range(24):
+
+        def _call(sc):
             # alifold_fast goes through the persistent AOT trace cache
             # (utils/aot.py): warm processes skip ~5s/shape of tracing
+            return ak.alifold_fast(
+                planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
+                S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,
+                L=L, NS=NS,
+            )
+
+        for _ in range(24):
             if _no_persist:
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 1e9
-                )
-            try:
-                pout, Q = ak.alifold_fast(
-                    planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
-                    S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,
-                    L=L, NS=NS,
-                )
-            finally:
-                if _no_persist:
-                    jax.config.update(
-                        "jax_persistent_cache_min_compile_time_secs", _old_min
+                with _CFG_LOCK:
+                    _old_min = (
+                        jax.config.jax_persistent_cache_min_compile_time_secs
                     )
+                    jax.config.update(
+                        "jax_persistent_cache_min_compile_time_secs", 1e9
+                    )
+                    try:
+                        pout, Q = _call(sc)
+                    finally:
+                        jax.config.update(
+                            "jax_persistent_cache_min_compile_time_secs",
+                            _old_min,
+                        )
+            else:
+                pout, Q = _call(sc)
             Qv = float(Q)
             if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
                 ok = True

@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import io
+import os
 
 import numpy as np
 
@@ -289,14 +290,27 @@ class Dafs:
                 if self.tree[n][1][0] in state and self.tree[n][1][1] in state
             ]
             _t0 = _time.perf_counter()
-            probs = []
-            alns = []
-            for n in layer:
-                _sc, (a, b) = self.tree[n]
-                aln1, aln2 = state[a][2], state[b][2]
-                p_x, p_y, p_z = self._merge_inputs(aln1, aln2)
-                probs.append((p_x, p_y, p_z, len(aln1), len(aln2)))
-                alns.append((aln1, aln2))
+            alns = [
+                (state[self.tree[n][1][0]][2], state[self.tree[n][1][1]][2])
+                for n in layer
+            ]
+            # Per-merge input prep (avg_bp + alifold consensus mix + p_z) is
+            # independent across the layer; overlap the host prep and device
+            # dispatch latency with threads.  Each merge computes exactly the
+            # same ops as the serial loop, so results are byte-identical.
+            if len(alns) > 1 and not os.environ.get("DAFS_TPU_SERIAL_PREP"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(alns), 8)) as ex:
+                    prepped = list(
+                        ex.map(lambda ab: self._merge_inputs(*ab), alns)
+                    )
+            else:
+                prepped = [self._merge_inputs(a1, a2) for a1, a2 in alns]
+            probs = [
+                (p_x, p_y, p_z, len(a1), len(a2))
+                for (p_x, p_y, p_z), (a1, a2) in zip(prepped, alns)
+            ]
             _t1 = _time.perf_counter()
             sols = dd.solve_by_dd_batch(
                 probs,
