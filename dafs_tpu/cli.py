@@ -10,44 +10,85 @@ import os
 import sys
 
 
+VERSION = "0.0.4"  # reference parity: src/CMakeLists.txt:12 (DAFS v0.0.4)
+
+
 def build_parser() -> argparse.ArgumentParser:
+    # option surface + help text mirror src/dafs.cpp:1607-1643 (cxxopts
+    # groups "", "Aligning", "Folding"; --help/--version at :1650-1661)
     p = argparse.ArgumentParser(
         prog="dafs-tpu",
-        description="DAFS-TPU: dual decomposition for simultaneous aligning "
-        "and folding RNA sequences (TPU-native).",
+        description="DAFS: dual decomposition for simultaneous aligning "
+        "and folding RNA sequences (TPU-native rebuild).",
     )
-    p.add_argument("input", metavar="FILE")
-    p.add_argument("-r", "--refinement", type=int, default=0, metavar="N")
-    p.add_argument("-w", "--weight", type=float, default=4.0)
-    p.add_argument("--eta", type=float, default=0.5)
-    p.add_argument("-m", "--max-iter", type=int, default=600, metavar="T")
+    p.add_argument("--version", action="version",
+                   version=f"DAFS version {VERSION}")
+    p.add_argument("input", metavar="FILE", help="Input file")
+    p.add_argument("-r", "--refinement", type=int, default=0, metavar="N",
+                   help="The number of iteration of the iterative refinment")
+    p.add_argument("-w", "--weight", type=float, default=4.0,
+                   help="Weight of the expected accuracy score for secondary "
+                        "structures")
+    p.add_argument("--eta", type=float, default=0.5,
+                   help="Initial step width for the subgradient optimization")
+    p.add_argument("-m", "--max-iter", type=int, default=600, metavar="T",
+                   help="The maximum number of iteration of the subgradient "
+                        "optimization")
     p.add_argument("--dd-update", default="subgradient",
                    choices=["subgradient", "adagrad", "adam"],
                    help="multiplier update rule (reference's compile-time "
                         "ADAGRAD/ADAM variants, src/dafs.cpp:67-69,984-1004)")
-    p.add_argument("-f", "--fourway-pct", type=float, default=0.0)
-    p.add_argument("-v", "--verbose", type=int, default=0)
-    # aligning
-    p.add_argument("-a", "--align-model", default="ProbCons",
-                   choices=["ProbCons", "CONTRAlign"])
-    p.add_argument("-p", "--align-pct", type=float, default=0.25)
-    p.add_argument("-u", "--align-th", type=float, default=0.01)
-    p.add_argument("--align-aux", metavar="FILENAME")
-    # folding
-    p.add_argument("-s", "--fold-model", default="Boltzmann",
-                   choices=["Boltzmann", "Vienna", "CONTRAfold"])
-    p.add_argument("--fold-decoder", default="Nussinov",
-                   choices=["Nussinov", "IPknot"])
-    p.add_argument("-q", "--fold-pct", type=float, default=0.25)
-    p.add_argument("-t", "--fold-th", type=str, default=None)
-    p.add_argument("-g", "--gamma", type=str, default=None)
-    p.add_argument("--no-alifold", action="store_true")
-    p.add_argument("-T", "--fold-th1", type=str, default=None)
-    p.add_argument("-G", "--gamma1", type=str, default=None)
-    p.add_argument("--ipknot", action="store_true")
-    p.add_argument("--bp-update", action="store_true")
-    p.add_argument("--bp-update1", action="store_true")
-    p.add_argument("--fold-aux", metavar="FILENAME")
+    p.add_argument("-f", "--fourway-pct", type=float, default=0.0,
+                   help="Weight of four-way PCT")
+    p.add_argument("-v", "--verbose", type=int, default=0,
+                   help="The level of verbose outputs")
+    ga = p.add_argument_group("Aligning")
+    ga.add_argument("-a", "--align-model", default="ProbCons",
+                    choices=["ProbCons", "CONTRAlign"],
+                    help="Alignment model for calculating matching "
+                         "probabilities")
+    ga.add_argument("-p", "--align-pct", type=float, default=0.25,
+                    help="Weight of PCT for matching probabilities")
+    ga.add_argument("-u", "--align-th", type=float, default=0.01,
+                    help="Threshold for matching probabilities")
+    ga.add_argument("--align-aux", metavar="FILENAME",
+                    help="Load matching probability matrices from FILENAME")
+    gf = p.add_argument_group("Folding")
+    gf.add_argument("-s", "--fold-model", default="Boltzmann",
+                    choices=["Boltzmann", "Vienna", "CONTRAfold"],
+                    help="Folding model for calculating base-pairing "
+                         "probabilities")
+    gf.add_argument("--fold-decoder", default="Nussinov",
+                    choices=["Nussinov", "IPknot"],
+                    help="Decoder for common secondary structure prediction")
+    gf.add_argument("-q", "--fold-pct", type=float, default=0.25,
+                    help="Weight of PCT for base-pairing probabilities")
+    gf.add_argument("-t", "--fold-th", type=str, default=None,
+                    help="Threshold for base-pairing probabilities")
+    gf.add_argument("-g", "--gamma", type=str, default=None,
+                    help="Specify the threshold for base-pairing "
+                         "probabilities by 1/(gamma+1)")
+    gf.add_argument("--no-alifold", action="store_true",
+                    help="No use of RNAalifold for calculating base-pairing "
+                         "probabilities")
+    gf.add_argument("-T", "--fold-th1", type=str, default=None,
+                    help="Threshold for base-pairing probabilities of the "
+                         "conclusive common secondary structures")
+    gf.add_argument("-G", "--gamma1", type=str, default=None,
+                    help="Specify the threshold for base-pairing "
+                         "probabilities of the conclusive common secondary "
+                         "structures by 1/(gamma+1)")
+    gf.add_argument("--ipknot", action="store_true",
+                    help="Set optimized parameters for IPknot decoding "
+                         "(--fold-decoder=IPknot -g4,8 -G2,4 --bp-update1)")
+    gf.add_argument("--bp-update", action="store_true",
+                    help="Use the iterative update of BPs")
+    gf.add_argument("--bp-update1", action="store_true",
+                    help="Use the iterative update of BPs for the final "
+                         "prediction")
+    gf.add_argument("--fold-aux", metavar="FILENAME",
+                    help="Load base-pairing probability matrices from "
+                         "FILENAME")
     p.add_argument("--save-align-aux", metavar="FILENAME",
                    help="dump match posteriors (reloadable via --align-aux)")
     p.add_argument("--profile", metavar="DIR", default=None,
@@ -141,8 +182,10 @@ def main(argv=None) -> int:
     # pathologically slow (measured: first fold call 444s vs 2.3s, 2026-08).
     # Sub-second compiles are cheap to redo; caching them costs minutes.
 
-    # keep the CPU backend available alongside the accelerator (the alifold
-    # kernel currently prefers it; see ops/alifold.py)
+    # keep the CPU backend available alongside the accelerator: the alifold
+    # *oracle* path (fast=False, tests/ablation only) is pinned to CPU
+    # because its gathers are pathological on TPU (ops/alifold.py); the
+    # default fast kernel runs on the accelerator.
     try:
         plats = jax.config.jax_platforms
         if plats and "cpu" not in plats:

@@ -16,6 +16,7 @@ wavefront of ops/mccaskill.py extended with
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import threading
@@ -49,10 +50,30 @@ DM = np.array(
 
 _EXP_CACHE: dict = {}
 _SC_CACHE: dict = {}  # (n_seq, L_bucket) -> last successful pf scale
+# When set (pipeline._align's threaded layer prep), warm-start READS come
+# from this immutable snapshot so they are independent of thread timing;
+# successful scales still write through to _SC_CACHE for the next layer.
+_SC_FROZEN: dict | None = None
 # Guards the (global) jax.config persistent-cache toggle below when merge
 # prep runs multi-threaded (pipeline._align overlaps per-merge consensus
-# calls); only the CPU backend takes this lock.
+# calls); only the CPU backend takes this lock.  NOTE: while one thread
+# holds the 1e9 min-compile-time override, compiles issued by sibling
+# threads for OTHER kernels also skip persistent-cache writes — an accepted
+# cost; on the CPU backend pipeline._align therefore preps serially.
 _CFG_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def sc_cache_frozen():
+    """Freeze pf-scale warm-start reads for the duration of a threaded merge
+    layer (see pipeline._align): all threads see the same snapshot, so the
+    0.8x/1.25x retry ladder is deterministic regardless of thread timing."""
+    global _SC_FROZEN
+    _SC_FROZEN = dict(_SC_CACHE)
+    try:
+        yield
+    finally:
+        _SC_FROZEN = None
 
 
 def _special_hp() -> bool:
@@ -645,7 +666,8 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
     # 0.8x/1.25x ladder only runs on cold keys.  pm = pout/Q is
     # scale-invariant up to f32 rounding.
     _sc_key = (nseq, L)
-    sc = f32(_SC_CACHE.get(_sc_key, np.exp(-0.6)))
+    _sc_src = _SC_FROZEN if _SC_FROZEN is not None else _SC_CACHE
+    sc = f32(_sc_src.get(_sc_key, np.exp(-0.6)))
     ok = False
     _timing = bool(os.environ.get("DAFS_TPU_TIMING"))
     _t0 = _time.perf_counter() if _timing else 0.0

@@ -296,15 +296,33 @@ class Dafs:
             ]
             # Per-merge input prep (avg_bp + alifold consensus mix + p_z) is
             # independent across the layer; overlap the host prep and device
-            # dispatch latency with threads.  Each merge computes exactly the
-            # same ops as the serial loop, so results are byte-identical.
-            if len(alns) > 1 and not os.environ.get("DAFS_TPU_SERIAL_PREP"):
+            # dispatch latency with threads.  Alifold's pf-scale warm-start
+            # cache is snapshotted once per layer (ops/alifold.py
+            # sc_cache_frozen) so every thread reads the same warm-start
+            # values regardless of scheduling; within a layer the results
+            # then match the serial loop up to the retry ladder's f32
+            # rounding, which the frozen snapshot makes deterministic.
+            # DAFS_TPU_SERIAL_PREP=1 forces the serial loop ('0'/'' = off,
+            # matching DAFS_TPU_NS_BUCKETS semantics).  The CPU backend
+            # falls back to serial prep: alifold's _CFG_LOCK serializes the
+            # dominant cost there anyway (ops/alifold.py).
+            import jax as _jax
+
+            serial_env = os.environ.get("DAFS_TPU_SERIAL_PREP", "0") not in ("", "0")
+            use_threads = (
+                len(alns) > 1 and not serial_env
+                and _jax.default_backend() != "cpu"
+            )
+            if use_threads:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(len(alns), 8)) as ex:
-                    prepped = list(
-                        ex.map(lambda ab: self._merge_inputs(*ab), alns)
-                    )
+                from dafs_tpu.ops import alifold as _ali
+
+                with _ali.sc_cache_frozen():
+                    with ThreadPoolExecutor(max_workers=min(len(alns), 8)) as ex:
+                        prepped = list(
+                            ex.map(lambda ab: self._merge_inputs(*ab), alns)
+                        )
             else:
                 prepped = [self._merge_inputs(a1, a2) for a1, a2 in alns]
             probs = [
