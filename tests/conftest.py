@@ -16,4 +16,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 from dafs_tpu.utils import aot as _aot
 _aot.setup_compile_cache()
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: jax_persistent_cache_min_compile_time_secs stays at its default
+# (1s): forcing 0 made the cache serialize EVERY sub-second executable,
+# which contributed materially to the round-2 suite blowup (VERDICT r2
+# "what's weak" #4).  Sub-second compiles are cheaper to redo than to
+# serialize + reload.

@@ -16,6 +16,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seqs", CASES)
 def test_alifold_matches_enumeration(seqs):
     want = oracle_alifold.exact_consensus_bpp(seqs)

@@ -39,6 +39,7 @@ def test_fast_with_constraint():
     np.testing.assert_allclose(fast, slow, rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ns_bucketing_neutral(monkeypatch):
     """NS-bucketing (NS>10 pads to the next power of two with neutral rows)
     matches the exact-NS call to reduction-tree reassociation level (~1 ulp:

@@ -36,6 +36,7 @@ def engine():
     return setup_engine()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("node", sorted(EXPECT_MATCH))
 def test_golden_merge_replay(engine, node):
     from dafs_tpu.pipeline import AlnRow

@@ -24,6 +24,7 @@ SNAP = os.path.join(os.path.dirname(__file__), "snapshots", "rf00017_replay.npz"
 FASTA = "/root/reference/examples/RF00017:4.fa"
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(SNAP), reason="snapshot not recorded")
 def test_rf00017_frozen_replay():
     from dafs_tpu import fasta, guide_tree, pipeline

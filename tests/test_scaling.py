@@ -254,6 +254,7 @@ print("N50_PIPELINE_OK", len(lines))
 """
 
 
+@pytest.mark.slow
 def test_fifty_seq_family_full_pipeline():
     """End-to-end 50-seq family on the 8-device mesh: fold + all-pairs +
     PCT sharded, guide tree, 49 layered DD merges, final decode.
