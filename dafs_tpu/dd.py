@@ -425,7 +425,8 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
 
 
 def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
-                       structure_decoder="ipknot", verbose_cb=None):
+                       structure_decoder="ipknot", verbose_cb=None,
+                       trace_cb=None):
     """Host-loop DD merge solve with a pluggable structure decoder.
 
     structure_decoder="ipknot": the reference's --ipknot mode uses the
@@ -522,6 +523,11 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
         vz = ((Z > 0) & (t_z > 1)) | ((Z == 0) & in_cz & (t_z > 0))
         violated = int(ux.sum() + uy.sum() + vz.sum())
 
+        if trace_cb is not None:
+            # mirrors the reference's per-iteration debug line
+            # (src/dafs.cpp:1273-1276): step t, eta, Lagrangian bound s,
+            # violation count
+            trace_cb(t, float(s), violated, float(eta))
         if violated == 0:
             break
         if s > s_prev or t == 0:

@@ -42,13 +42,20 @@ def compile_cache_dir() -> str:
     try:
         import platform as _pl
 
-        flags = ""
+        # flags alone are not enough: two hosts with identical cpuinfo flag
+        # lists can still differ in LLVM-detected target features (observed
+        # 2026-08: XLA:CPU AOT artifacts with +prefer-no-scatter/+amx-*
+        # variants loading on a host whose flags hashed identically), so the
+        # model name and microcode lines join the fingerprint.
+        keep = ("flags", "model name", "microcode", "cpu family", "model\t")
+        lines = []
         with open("/proc/cpuinfo") as f:
             for ln in f:
-                if ln.startswith("flags"):
-                    flags = ln
+                if ln.startswith(keep):
+                    lines.append(ln)
+                if len(lines) >= 8:
                     break
-        fp = hashlib.sha256((_pl.machine() + flags).encode()).hexdigest()[:10]
+        fp = hashlib.sha256((_pl.machine() + "".join(lines)).encode()).hexdigest()[:10]
     except Exception:
         fp = "generic"
     return f"{base}_{fp}"

@@ -210,12 +210,71 @@ def node_registers(eng, rows_by_id, leaves, node):
     return regs
 
 
+def pct_donor_decomposition(eng, bp_raw, mp_raw, sim, x, i, j, top=6):
+    """Decompose the bp-PCT value p'_x(i, j) (0-based) into donor-(y, k, l)
+    contributions (src/dafs.cpp:326-375 formula).  Returns (total, rows)
+    with rows = [(contrib, y, k, l, bp_y[k,l])]."""
+    N = len(eng.fa)
+    f = np.float32
+    w_pct_s = eng.o.w_pct_s
+    scale = np.full(N, f(w_pct_s) / f(N - 1), np.float32)
+    scale[x] = f(1.0 - w_pct_s)
+    w = np.float32(sim[:, x]) * scale
+    sum_w = np.float32(np.sum(w, dtype=np.float32))
+    rows = []
+    total = 0.0
+    for y in range(N):
+        if w[y] == 0.0:
+            continue
+        M = mp_raw[y, x]          # (Ly, Lx) match posterior
+        B = bp_raw[y]             # (Ly, Ly)
+        contrib_kl = (
+            M[:, i][:, None] * B * M[:, j][None, :]
+        ) * (w[y] / sum_w)
+        total += float(contrib_kl.sum())
+        for k, l in zip(*np.nonzero(contrib_kl > 1e-5)):
+            rows.append((float(contrib_kl[k, l]), y, int(k), int(l),
+                         float(B[k, l])))
+    rows.sort(reverse=True)
+    return total, rows[:top]
+
+
+def ledger_for_pair(seq, pair_1b, kT, label=""):
+    """Per-term leverage on ln p(pair) in this sequence's own ensemble."""
+    pf = SeqPF(seq)
+    lnZ_free, post = pf.run()
+    a, b = pair_1b
+    print(f"    {label}: p({a},{b}) = {post[a - 1, b - 1]:.5f}")
+    cF = expected_counts(pf, [])
+    lnZ_A, _ = pf.run([pair_1b])
+    cA = expected_counts(pf, [pair_1b])
+    print(f"    ln p = {lnZ_A - lnZ_free:+.4f}; class leverage "
+          f"(dcount = E[pair] - E[free]; delta_c to halve p):")
+    rows = []
+    for cls in cA:
+        d = cA[cls] - cF[cls]
+        need = np.log(2.0) * kT / d if abs(d) > 1e-3 else np.inf
+        rows.append((abs(d), cls, cA[cls], cF[cls], d, need))
+    for _a, cls, av, fv, d, need in sorted(rows, reverse=True)[:10]:
+        mark = " <<<" if abs(d) >= 0.5 else ""
+        print(f"      {cls:<14}{av:>10.3f}{fv:>10.3f}{d:>9.3f}"
+              f"{need:>12.1f}{mark}")
+    return post[a - 1, b - 1]
+
+
 def main() -> None:
     nodes = [int(a) for a in sys.argv[1:]] or [12, 15, 17]
     from dafs_tpu.ops import energy_params as ep
 
     kT = (ep.TEMP37 + ep.K0) * ep.GASCONST / 10.0
     eng, fa, rows_by_id, leaves = setup_engine()
+    # raw (pre-PCT) posteriors for the donor decomposition
+    from dafs_tpu import consistency as _cons
+
+    bp_raw = eng.s_model.all_seqs(fa)
+    mp_raw = eng.a_model.all_pairs(fa)
+    lens = [len(f_) for f_ in fa]
+    sim = _cons.similarity_matrix(mp_raw, lens)
 
     for node in nodes:
         print(f"\n=== node {node} ===")
@@ -226,34 +285,41 @@ def main() -> None:
             print(f"\nseq {sid} ({name}), L={len(seq)}")
             print(f"  register A (ours-only pairs, 1-based): {ours}")
             print(f"  register B (gold-only pairs, 1-based): {gold}")
-            if not ours or not gold:
-                print("  (one side empty -- skipping ledger for this seq)")
+            if not ours and not gold:
                 continue
-            pf = SeqPF(seq)
-            lnZ_free, post = pf.run()
-            # drop register pairs the base ensemble can't form
-            lnZ_A, _ = pf.run(ours)
-            lnZ_B, _ = pf.run(gold)
-            print(f"  ln Z(free) = {lnZ_free:.4f}")
-            print(f"  ln Z_A - ln Z = {lnZ_A - lnZ_free:+.4f}  "
-                  f"(P[A] = {np.exp(lnZ_A - lnZ_free):.4g})")
-            print(f"  ln Z_B - ln Z = {lnZ_B - lnZ_free:+.4f}  "
-                  f"(P[B] = {np.exp(lnZ_B - lnZ_free):.4g})")
-            print(f"  our odds B/A = {np.exp(lnZ_B - lnZ_A):.4g} "
-                  f"(reference needs ~2x more)")
-            cA = expected_counts(pf, ours)
-            cB = expected_counts(pf, gold)
-            print(f"  {'class':<14}{'E_A[cnt]':>10}{'E_B[cnt]':>10}"
-                  f"{'dcount':>9}{'delta_c for ln2 (dcal)':>24}")
-            rows = []
-            for cls in cA:
-                d = cB[cls] - cA[cls]
-                need = -np.log(2.0) * kT / d if abs(d) > 1e-3 else np.inf
-                rows.append((abs(d), cls, cA[cls], cB[cls], d, need))
-            for _a, cls, a, b, d, need in sorted(rows, reverse=True):
-                mark = " <<<" if abs(d) >= 0.5 else ""
-                print(f"  {cls:<14}{a:>10.3f}{b:>10.3f}{d:>9.3f}"
-                      f"{need:>24.1f}{mark}")
+            for direction, prs in (("ours-only (must DROP)", ours),
+                                   ("gold-only (must RISE)", gold)):
+                for (a, b) in prs:
+                    i, j = a - 1, b - 1
+                    tp = int(ep.BP_PAIR[
+                        ep.encode_rna(seq)[i], ep.encode_rna(seq)[j]
+                    ])
+                    print(f"\n  pair ({a},{b}) 1-based [{direction}], "
+                          f"{seq[i]}-{seq[j]} type {tp}")
+                    if tp > 0:
+                        ledger_for_pair(seq, (a, b), kT, label="own ensemble")
+                    else:
+                        print("    non-canonical in this seq: probability is "
+                              "PCT-borrowed; donor decomposition:")
+                    total, donors = pct_donor_decomposition(
+                        eng, bp_raw, mp_raw, sim, sid, i, j
+                    )
+                    print(f"    PCT p'({a},{b}) = {total:.5f}; top donors:")
+                    seen = set()
+                    for contrib, y, k, l, byp in donors:
+                        print(f"      y={y} ({eng.fa[y].name}) "
+                              f"(k,l)=({k},{l}) 0-based  bp_y={byp:.4f}  "
+                              f"contrib={contrib:.5f}")
+                    for contrib, y, k, l, byp in donors[:3]:
+                        if (y, k, l) in seen or contrib < 0.1 * max(
+                            d[0] for d in donors
+                        ):
+                            continue
+                        seen.add((y, k, l))
+                        ledger_for_pair(
+                            eng.fa[y].seq, (k + 1, l + 1), kT,
+                            label=f"donor y={y} pair ({k + 1},{l + 1})",
+                        )
 
 
 if __name__ == "__main__":
