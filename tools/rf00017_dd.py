@@ -110,7 +110,7 @@ def main() -> None:
         trace = []
         t0 = time.perf_counter()
         s600, x, y, z = dd.solve_by_dd_ipknot(
-            p_x, p_y, p_z, n1, n2, eta0=eng.o.eta0, t_max=600,
+            p_x, p_y, p_z, n1, n2, **kw, eta0=eng.o.eta0, t_max=600,
             structure_decoder="nussinov", trace_cb=lambda *r: trace.append(r),
         )
         t_dd = time.perf_counter() - t0
@@ -131,7 +131,7 @@ def main() -> None:
         if not conv600:
             tr2 = []
             s_long, xl, yl, zl = dd.solve_by_dd_ipknot(
-                p_x, p_y, p_z, n1, n2, eta0=eng.o.eta0,
+                p_x, p_y, p_z, n1, n2, **kw, eta0=eng.o.eta0,
                 t_max=args.tmax_long, structure_decoder="nussinov",
                 trace_cb=lambda *r: tr2.append(r),
             )
