@@ -722,26 +722,19 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
                 NS_pad *= 2
         else:
             NS_pad = NS
+        valid = np.ones(NS_pad, np.float32)
         if NS_pad > NS:
             padn = NS_pad - NS
-            for k in ("MMI_IN", "MM1N_IN", "MM23_IN", "TAU_IN",
-                      "MMI_OUT", "MM1N_OUT", "MM23_OUT", "TAU_OUT"):
-                planes[k] = np.concatenate(
-                    [planes[k], np.zeros((padn, Lp, Lp), planes[k].dtype)]
-                )
-            for k, fill in (("TP7", 6), ("RT7", 6),
-                            ("C175_OUT", 0), ("C35_OUT", 0),
-                            ("C175_IN", 0), ("C35_IN", 0)):
-                planes[k] = np.concatenate(
-                    [planes[k], np.full((padn, Lp, Lp), fill, planes[k].dtype)]
-                )
+            valid[NS:] = 0.0  # kernel forces pad rows' planes to neutral
             zrow = np.zeros((padn, S5.shape[1]), np.int32)
+            S = np.concatenate([S, zrow])
             S5 = np.concatenate([S5, zrow])
             S3 = np.concatenate([S3, zrow])
             a2s = np.concatenate([a2s, zrow])
             NS = NS_pad
         loop_tabs = ak.build_loop_tables(t2)
         spec_tabs = ak.build_special_tables(t2)
+        gtabs = ak.build_gtabs(t2)
         PADC = ak.PAD
         RIGHT = Lp + PADC
         def bigvec(arr, repl_last=False):
@@ -750,10 +743,20 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             if repl_last:
                 out[:, PADC + Lp:] = arr[:, -1:]
             return out
+        Sb = jnp.asarray(bigvec(S[:, :Lp]))
         S5b = jnp.asarray(bigvec(S5))
         S3b = jnp.asarray(bigvec(S3))
         A2Sb = jnp.asarray(bigvec(a2s, repl_last=True))
+        # per-seq A-group/code planes: built on device from tiny inputs
+        # (the old host numpy builds + (NS, Lp, Lp) transfers dominated
+        # per-call wall time over the axon relay); results stay
+        # device-resident into alifold_fast
+        seq_planes = ak.build_seq_planes(
+            {k: jnp.asarray(v) for k, v in gtabs.items()},
+            Sb, S5b, S3b, jnp.asarray(valid), L=L, NS=NS,
+        )
         planes_j = {k: jnp.asarray(v) for k, v in planes.items()}
+        planes_j.update(seq_planes)
         loop_j = {k: jnp.asarray(v) for k, v in loop_tabs.items()}
         spec_j = {k: (jnp.asarray(v) if hasattr(v, "shape") else jnp.float32(v))
                   for k, v in spec_tabs.items()}

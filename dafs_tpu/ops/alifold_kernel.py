@@ -188,6 +188,65 @@ def build_special_tables(t: dict) -> dict:
                 blg1=F(np.asarray(t["bulge"], F)[1]))
 
 
+def build_gtabs(t: dict) -> dict:
+    """(25, 25) side-code tables for the per-seq A-group/code planes.
+
+    Every per-sequence (NS, Lp, Lp) plane that build_planes used to
+    materialize host-side is a pure function of a 25-state i-side code and a
+    25-state j-side code (base x nearest-non-gap neighbor), so the kernel
+    builds them ON DEVICE as two exact one-hot contractions per plane
+    (HBM-resident, zero host->device transfer; ~55 MB/call saved at NS=10
+    L=320, which dominated wall time over the axon relay).  Codes:
+
+      OUT-side planes index [u = S_i*5 + S3_i, v = S_j*5 + S5_j]
+      IN-side  planes index [u = S_i*5 + S5_i, v = S_j*5 + S3_j]
+
+    Values are identical to the old host np.take lookups; one-hot matmuls
+    at HIGHEST precision reproduce them bitwise (exactly one nonzero term
+    per output element).
+    """
+    RT = np.asarray(ep.RTYPE)
+    mmI175 = np.ascontiguousarray(np.asarray(t["mmI"], F)[1:8].reshape(175))
+    mm1n175 = np.ascontiguousarray(np.asarray(t["mm1n"], F)[1:8].reshape(175))
+    mm23175 = np.ascontiguousarray(np.asarray(t["mm23"], F)[1:8].reshape(175))
+    tau = F(t["tau"])
+
+    bi = (np.arange(25) // 5)[:, None]   # base at i (0..4)
+    xi = (np.arange(25) % 5)[:, None]    # neighbor letter on the i side
+    bj = (np.arange(25) // 5)[None, :]
+    yj = (np.arange(25) % 5)[None, :]
+    tp = np.asarray(ep.BP_PAIR)[bi, bj].astype(np.int32)
+    tp[tp == 0] = 7
+    rt = RT[tp]
+
+    # OUT: xi = S3_i, yj = S5_j  (outer pair mismatch letters)
+    c175_out = ((tp - 1) * 25 + xi * 5 + yj).astype(np.int32)
+    c35_out = ((tp - 1) * 5 + xi).astype(np.int32)
+    # IN: xi = S5_i, yj = S3_j  (inner pair, reversed type)
+    c175_in = ((rt - 1) * 25 + yj * 5 + xi).astype(np.int32)
+    c35_in = ((rt - 1) * 5 + yj).astype(np.int32)
+
+    def tau_of(x):
+        return np.where(x > 2, tau, F(1.0)).astype(F)
+
+    return dict(
+        G_MMI_OUT=np.take(mmI175, c175_out),
+        G_MM1N_OUT=np.take(mm1n175, c175_out),
+        G_MM23_OUT=np.take(mm23175, c175_out),
+        G_TAU_OUT=tau_of(tp),
+        G_MMI_IN=np.take(mmI175, c175_in),
+        G_MM1N_IN=np.take(mm1n175, c175_in),
+        G_MM23_IN=np.take(mm23175, c175_in),
+        G_TAU_IN=tau_of(rt),
+        G_C175_OUT=c175_out.astype(F),
+        G_C35_OUT=c35_out.astype(F),
+        G_C175_IN=c175_in.astype(F),
+        G_C35_IN=c35_in.astype(F),
+        G_TP7=(tp - 1).astype(F),
+        G_RT7=(rt - 1).astype(F),
+    )
+
+
 def _hairpin_plane(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
                    n, NS, Lp):
     """Consensus hairpin product HP[i, j] (without sc^(d+1)); replicates
@@ -235,7 +294,10 @@ def _hairpin_plane(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
 
 def build_planes(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
                  n, NS, Lp):
-    """All per-cell host planes (numpy, row-major (Lp, Lp))."""
+    """Consensus-level host planes (numpy, row-major (Lp, Lp)): the
+    sequential-over-s f32 products (MLSTEM/MLCLOSE/EXT, whose multiply order
+    is bitwise-significant) and the hairpin product.  The per-sequence
+    A-group/code planes moved on-device (build_gtabs + alifold_fast)."""
     RT = np.asarray(ep.RTYPE)
     mmI = np.asarray(t["mmI"], F)
     mm1n = np.asarray(t["mm1n"], F)
@@ -274,20 +336,7 @@ def build_planes(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
     sj1 = S5[:, None, :]          # base 5' of col j
     sp1 = S5[:, :, None]
     sq1 = S3[:, None, :]
-    C175_OUT = ((tp - 1) * 25 + si1 * 5 + sj1).astype(np.int32)
-    C35_OUT = ((tp - 1) * 5 + si1).astype(np.int32)
-    C175_IN = ((rt - 1) * 25 + sq1 * 5 + sp1).astype(np.int32)
-    C35_IN = ((rt - 1) * 5 + sq1).astype(np.int32)
-    TP7 = (tp - 1).astype(np.int32)
-    RT7 = (rt - 1).astype(np.int32)
-
-    MMI_OUT = np.take(mmI175, C175_OUT)
-    MM1N_OUT = np.take(mm1n175, C175_OUT)
-    MM23_OUT = np.take(mm23175, C175_OUT)
     TAU_OUT = tau_of(tp).astype(F)
-    MMI_IN = np.take(mmI175, C175_IN)
-    MM1N_IN = np.take(mm1n175, C175_IN)
-    MM23_IN = np.take(mm23175, C175_IN)
     TAU_IN = tau_of(rt).astype(F)
 
     # consensus multiloop / exterior products (sequential over s: preserve
@@ -317,12 +366,7 @@ def build_planes(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
 
     HP = _hairpin_plane(t, S, S5, S3, a2s, pt7, tri_code, tetra_code,
                         hexa_code, n, NS, Lp)
-    return dict(
-        MMI_OUT=MMI_OUT, MM1N_OUT=MM1N_OUT, MM23_OUT=MM23_OUT, TAU_OUT=TAU_OUT,
-        MMI_IN=MMI_IN, MM1N_IN=MM1N_IN, MM23_IN=MM23_IN, TAU_IN=TAU_IN,
-        C175_OUT=C175_OUT, C35_OUT=C35_OUT, C175_IN=C175_IN, C35_IN=C35_IN,
-        TP7=TP7, RT7=RT7, MLSTEM=MLSTEM, MLCLOSE=MLCLOSE, EXT=EXT, HP=HP,
-    )
+    return dict(MLSTEM=MLSTEM, MLCLOSE=MLCLOSE, EXT=EXT, HP=HP)
 
 
 # =============================== device kernel =============================
@@ -340,14 +384,73 @@ def _oh(x, n):
 
 
 @aot.persistent_jit(static_argnames=("L", "NS"))
+def build_seq_planes(gtabs, Sb, S5b, S3b, valid, *, L, NS):
+    """Per-sequence A-group/code planes, built ON DEVICE.
+
+    Each plane value is G[u_i, v_j] over 25-state side codes (build_gtabs),
+    so two exact one-hot contractions per plane replace the old host-side
+    (NS, Lp, Lp) numpy builds + transfers (~55 MB/call at NS=10 L=320,
+    which dominated wall time over the axon relay).  One-hot matmuls at
+    HIGHEST precision are bitwise-identical to np.take lookups (exactly one
+    nonzero term per output).  valid: (NS,) f32, 0.0 marks NS-bucketing pad
+    rows (A-group planes force 0.0, code planes their neutral fills,
+    matching the old host-side padding exactly).  Kept separate from
+    alifold_fast so the big kernel's compile time is unaffected; the
+    outputs stay device-resident between the two jit calls.
+    """
+    f = jnp.float32
+    Lp = L + 2
+    hi = jax.lax.Precision.HIGHEST
+    Scol = jax.lax.dynamic_slice(Sb, (0, PAD), (NS, Lp))
+    S5col = jax.lax.dynamic_slice(S5b, (0, PAD), (NS, Lp))
+    S3col = jax.lax.dynamic_slice(S3b, (0, PAD), (NS, Lp))
+    OHa = _oh(Scol * 5 + S3col, 25)          # (NS, Lp, 25): (base, S3)
+    OHb = _oh(Scol * 5 + S5col, 25)          # (NS, Lp, 25): (base, S5)
+
+    def glook(key, OHx, OHy):
+        G = gtabs[key].astype(f)
+        W = jnp.einsum("sic,cd->sid", OHx, G, precision=hi)
+        return jnp.einsum("sid,sjd->sij", W, OHy, precision=hi)
+
+    vmask = valid[:, None, None]
+    vbool = vmask > 0.0
+
+    def gf32(key, OHx, OHy):          # f32 plane; pad rows force 0.0
+        return glook(key, OHx, OHy) * vmask
+
+    def gint(key, OHx, OHy, fill):    # int code plane; pad rows get `fill`
+        p = glook(key, OHx, OHy)
+        return jnp.where(vbool, p, f(fill)).astype(jnp.int32)
+
+    return dict(
+        MMI_IN=gf32("G_MMI_IN", OHb, OHa),
+        MM1N_IN=gf32("G_MM1N_IN", OHb, OHa),
+        MM23_IN=gf32("G_MM23_IN", OHb, OHa),
+        TAU_IN=gf32("G_TAU_IN", OHb, OHa),
+        MMI_OUT=gf32("G_MMI_OUT", OHa, OHb),
+        MM1N_OUT=gf32("G_MM1N_OUT", OHa, OHb),
+        MM23_OUT=gf32("G_MM23_OUT", OHa, OHb),
+        TAU_OUT=gf32("G_TAU_OUT", OHa, OHb),
+        TP7=gint("G_TP7", OHa, OHb, 6),
+        RT7=gint("G_RT7", OHb, OHa, 6),
+        C175_OUT=gint("G_C175_OUT", OHa, OHb, 0),
+        C35_OUT=gint("G_C35_OUT", OHa, OHb, 0),
+        C175_IN=gint("G_C175_IN", OHb, OHa, 0),
+        C35_IN=gint("G_C35_IN", OHb, OHa, 0),
+    )
+
+
+@aot.persistent_jit(static_argnames=("L", "NS"))
 def alifold_fast(
     planes, loop_tabs, spec_tabs, psc_fac, allow_pair, allow_unpaired,
     S5b, S3b, A2Sb, n, sc, bsn0, *, L, NS,
 ):
     """Consensus inside+outside, gather-free.  Returns (pout, Q).
 
-    planes: dict of host planes (row-major (NS?, Lp, Lp)); S5b/S3b/A2Sb:
-    (NS, PAD+Lp+PAD) padded per-seq vectors; bsn0 = expMLbase**NS (no sc).
+    planes: dict of (NS?, Lp, Lp) planes — the consensus-level ones built
+    host-side (HP/EXT/MLSTEM/MLCLOSE) and the per-seq A-group/code planes
+    built on device by build_seq_planes; S5b/S3b/A2Sb: (NS, PAD+Lp+PAD)
+    padded per-seq vectors; bsn0 = expMLbase**NS (no sc).
     """
     f = jnp.float32
     Lp = L + 2

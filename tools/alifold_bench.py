@@ -38,6 +38,11 @@ def main() -> None:
     from dafs_tpu import fasta
     from dafs_tpu.ops import alifold as ali
 
+    if os.environ.get("DAFS_TPU_TIMING"):
+        from dafs_tpu.utils.log import set_verbosity
+
+        set_verbosity(1)  # surface the host_prep/xfer/kernel INFO split
+
     fa = fasta.load_fasta("/root/reference/examples/RF00017:4.fa")
     print(f"backend: {jax.default_backend()}  L-bucket target: {args.L}")
     for ns in (int(x) for x in args.ns.split(",")):
