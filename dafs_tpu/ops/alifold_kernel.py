@@ -719,9 +719,14 @@ def alifold_fast(
         # p/q in 0..4); every operand keeps i as the lane axis and nothing
         # larger than one (NS, u_ext, vb, Lp) accumulator materializes.
         OHq = Dl["OHqT"][:, :, v0:v1]                # (NS, 5, vb, Lp)
-        OHp = Dl["OHpT"][:, :, :u_ext]               # (NS, 5, u_ext, Lp)
         m_sb = m00 + blg1 * (m01 + m10)
         Bv = jnp.zeros_like(K)
+        # D21/D22 are u-side quantities recomputed identically by every
+        # staircase block (u always starts at 0); Dl["D21A"]/["D22A"] hoist
+        # them to one full-SW per-diagonal contraction (inside_step) and
+        # blocks just slice — saves the sum(u_ext)/SW ~ 2.45x redundancy.
+        D21A = Dl["D21A"]                            # (NS, 35, SW, Lp)
+        D22A = Dl["D22A"]
         for t2 in range(7):
             sel = (TP2st == t2).astype(f)
             acc = (
@@ -736,14 +741,8 @@ def alifold_fast(
             S21 = jnp.zeros_like(K)
             S22 = jnp.zeros_like(K)
             for q in range(5):
-                D21 = sum(
-                    OHp[:, p] * Dl["T21bcT"][:, p, t2 * 5 + q][:, None, :]
-                    for p in range(5)
-                )                                    # (NS, u_ext, Lp)
-                D22v = sum(
-                    OHp[:, p] * Dl["T22cT"][:, p, t2 * 5 + q][:, None, :]
-                    for p in range(5)
-                )
+                D21 = D21A[:, t2 * 5 + q, :u_ext]    # (NS, u_ext, Lp)
+                D22v = D22A[:, t2 * 5 + q, :u_ext]
                 S21 = S21 + OHq[:, q][:, None] * D21[:, :, None]
                 S22 = S22 + OHq[:, q][:, None] * D22v[:, :, None]
             Bv = Bv + sel * (
@@ -785,6 +784,8 @@ def alifold_fast(
         oh35T = jnp.stack([(c35row == c).astype(f) for c in range(35)], 1)
         oh175T = jnp.stack([(c175row == c).astype(f) for c in range(175)], 1)
         y0v = PAD + d - SW
+        T21bcT = jnp.einsum("sci,cpm->spmi", oh35T, Ti21b)      # (NS,5,35,Lp)
+        T22cT = jnp.einsum("sci,cpm->spmi", oh175T, Ti22)       # (NS,5,35,Lp)
         Dl = dict(
             W1=W1, C23=C23,
             BU_u=BU_u, F1N_u=F1N_u, IND_U=IND_U,
@@ -796,8 +797,11 @@ def alifold_fast(
             DstackT=jnp.einsum("sti,tc->sci", oh7T, T7),        # (NS,7,Lp)
             Di11T=jnp.einsum("sci,ct->sti", oh175T, Ti11),      # (NS,7,Lp)
             Di21aT=jnp.einsum("sci,cm->smi", oh175T, Ti21a),    # (NS,35,Lp)
-            T21bcT=jnp.einsum("sci,cpm->spmi", oh35T, Ti21b),   # (NS,5,35,Lp)
-            T22cT=jnp.einsum("sci,cpm->spmi", oh175T, Ti22),    # (NS,5,35,Lp)
+            # full-SW u-side contractions, hoisted out of the staircase
+            # blocks (exact: OHpT is one-hot over p, so each output element
+            # has exactly one nonzero term regardless of reduction order)
+            D21A=jnp.einsum("spui,spmi->smui", OHpT, T21bcT),   # (NS,35,SW,Lp)
+            D22A=jnp.einsum("spui,spmi->smui", OHpT, T22cT),
             OHpT=OHpT, OHqT=OHqT,
         )
         if "noint" in _ABLATE:
@@ -954,6 +958,11 @@ def alifold_fast(
         Di21aoT = jnp.einsum("smi,cm->sci", oh35iT, Ti21a)     # (NS,175,Lp)
         D21boT = jnp.einsum("smi,cm->sci", oh175iT, Ti21b_o)   # (NS,35,Lp)
         D22oT = jnp.einsum("smi,cm->sci", oh175iT, Ti22_o)     # (NS,175,Lp)
+        # u-side i21b contraction hoisted out of the staircase blocks
+        # (exact: OHpoT one-hot over b)
+        EbA = jnp.einsum(
+            "sbui,stbi->stui", OHpoT, D21boT.reshape(NS, 7, 5, Lp)
+        )                                                      # (NS,7,SW,Lp)
 
         y0o = PAD + d
         BU_vo = jax.lax.dynamic_slice(BU_vOJ, (0, 0, y0o), (NS, SW, Lp))
@@ -1033,11 +1042,8 @@ def alifold_fast(
 
                 acc = acc + _bc(Di11oT, m11) + _bc(Di21aoT, m12)
                 acc = acc + _bc(D22oT, m22)
-                # i21b: outer code (t, si1) only
-                Eb = sum(
-                    OHpo[:, b] * D21boT[:, t * 5 + b][:, None, :]
-                    for b in range(5)
-                )                                        # (NS, u_ext, Lp)
+                # i21b: outer code (t, si1) only (EbA hoisted per diagonal)
+                Eb = EbA[:, t, :u_ext]                   # (NS, u_ext, Lp)
                 acc = acc + Eb[:, :, None, :] * m21
                 Bv = Bv + sel * acc
             Kp = jnp.prod(K + Bv, axis=0) * PSCst

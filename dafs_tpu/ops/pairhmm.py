@@ -286,15 +286,35 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     return jnp.where(valid, post[:, 1:, 1:], 0.0)
 
 
+# Pallas kernel batch ceiling: its scoped-VMEM stack allocation grows with
+# the batch dimension and overflows the 16 MB limit around B~1200 at
+# family-scale lengths (observed: 16.24M requested at B=1232, imax 193).
+# Chunks of 512 stay well under the limit at every shipped length bucket
+# while keeping the MXU/VPU saturated; per-pair results are independent, so
+# chunking is bitwise-neutral.
+_PALLAS_MAX_B = 512
+
+
 def best_forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     """Dispatch to the Pallas kernel on TPU (bitwise-identical, faster);
     the lax.scan path elsewhere (CPU backend, virtual meshes)."""
     if jax.devices()[0].platform == "tpu":
         from dafs_tpu.ops import pairhmm_pallas
 
-        return pairhmm_pallas.forward_backward_posterior(
-            codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
-        )
+        B = codes1.shape[0]
+        if B <= _PALLAS_MAX_B:
+            return pairhmm_pallas.forward_backward_posterior(
+                codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
+            )
+        outs = [
+            pairhmm_pallas.forward_backward_posterior(
+                codes1[s : s + _PALLAS_MAX_B], len1[s : s + _PALLAS_MAX_B],
+                codes2[s : s + _PALLAS_MAX_B], len2[s : s + _PALLAS_MAX_B],
+                l1max=l1max, l2max=l2max,
+            )
+            for s in range(0, B, _PALLAS_MAX_B)
+        ]
+        return jnp.concatenate(outs, axis=0)
     return forward_backward_posterior(
         codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
     )
