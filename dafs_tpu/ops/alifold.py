@@ -509,10 +509,28 @@ class Alifold:
             seqs.append("".join(out))
         return consensus_bp(seqs, self.th, bl=self.bl, constraint=constraint)
 
+    def warm_shapes(self, shapes, sample_seq: str) -> None:
+        """Prefetch the consensus executables for upcoming (n_seq, n_cols)
+        shapes (deserialize + first dispatch, the expensive part under a
+        remote runtime).  Runs dummy gapless alignments; pf-scale cache
+        writes are suppressed so production retry ladders are unaffected.
+        Safe to call from a background thread (pipeline._align overlaps it
+        with the early merge layers)."""
+        for ns, ncols in shapes:
+            s = (sample_seq * (ncols // len(sample_seq) + 1))[:ncols]
+            try:
+                consensus_bp([s] * ns, self.th, bl=self.bl, _warm=True)
+            except Exception:
+                pass  # warm-up only; production calls surface real errors
+
 
 def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
-                 fast=True) -> np.ndarray:
-    """(L, L) upper-triangular consensus pair probabilities (entries > th)."""
+                 fast=True, _warm=False) -> np.ndarray:
+    """(L, L) upper-triangular consensus pair probabilities (entries > th).
+
+    _warm=True marks an executable-prefetch call (Alifold.warm_shapes): the
+    pf-scale warm-start cache is not written, so production retry ladders
+    are byte-for-byte unaffected by whether a prefetch ran."""
     nseq = len(seqs)
     if nseq == 1 and "-" not in seqs[0] and "_" not in seqs[0] and fast:
         # A single ungapped sequence reduces exactly to the McCaskill
@@ -812,7 +830,8 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             Qv = float(Q)
             if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
                 ok = True
-                _SC_CACHE[_sc_key] = float(sc)
+                if not _warm:
+                    _SC_CACHE[_sc_key] = float(sc)
                 break
             if not np.isfinite(Qv) or Qv >= 1e25:
                 sc = f32(sc * 0.8)

@@ -283,6 +283,43 @@ class Dafs:
             else:
                 internal.append(n)
                 stack += [a, b]
+        # Prefetch upcoming consensus executables in the background: each
+        # distinct group size is a separate (static-NS) alifold executable
+        # whose deserialize + first-dispatch costs seconds under a remote
+        # runtime, and the serial layer loop would otherwise pay them one
+        # by one (measured: ~22s of a 38s cold RF00005 run).  The warm
+        # calls skip the pf-scale cache (alifold.consensus_bp _warm=True),
+        # so production results are byte-for-byte unaffected.  Disable with
+        # DAFS_TPU_PREFETCH=0.
+        if (
+            internal
+            and os.environ.get("DAFS_TPU_PREFETCH", "1") not in ("", "0")
+            and hasattr(self.alifold, "warm_shapes")
+        ):
+            import jax as _jax
+
+            if _jax.default_backend() != "cpu":
+                import threading as _th
+
+                def _leafcount(n, _memo={}):
+                    a, b = self.tree[n][1]
+                    if a == -1:
+                        return 1
+                    if n not in _memo:
+                        _memo[n] = _leafcount(a) + _leafcount(b)
+                    return _memo[n]
+
+                sizes = sorted(
+                    {_leafcount(c) for n in internal for c in self.tree[n][1]}
+                    | {len(self.fa)}
+                )
+                ncols = max(len(f) for f in self.fa)
+                sample = max((f.seq for f in self.fa), key=len)
+                _th.Thread(
+                    target=self.alifold.warm_shapes,
+                    args=([(ns, ncols) for ns in sizes], sample),
+                    daemon=True,
+                ).start()
         pending = set(internal)
         while pending:
             layer = [
