@@ -80,3 +80,12 @@ def test_single_sequence_input(tmp_path, capsys):
     assert out[-4] == ">SS_cons"
     assert out[-2] == "> a"
     assert out[-1] == "GGGCGCAAGCCU"
+
+
+def test_version_flag(capsys):
+    # reference parity: `dafs --version` prints and exits 0
+    # (src/dafs.cpp:1655-1659)
+    with pytest.raises(SystemExit) as e:
+        cli.main(["--version"])
+    assert e.value.code == 0
+    assert capsys.readouterr().out.strip() == "DAFS version 0.0.4"
