@@ -799,9 +799,18 @@ def alifold_fast(
             Di21aT=jnp.einsum("sci,cm->smi", oh175T, Ti21a),    # (NS,35,Lp)
             # full-SW u-side contractions, hoisted out of the staircase
             # blocks (exact: OHpT is one-hot over p, so each output element
-            # has exactly one nonzero term regardless of reduction order)
-            D21A=jnp.einsum("spui,spmi->smui", OHpT, T21bcT),   # (NS,35,SW,Lp)
-            D22A=jnp.einsum("spui,spmi->smui", OHpT, T22cT),
+            # has exactly one nonzero term regardless of reduction order).
+            # Explicit broadcast-multiply-sums, NOT einsum/dot: XLA lowers
+            # the equivalent batched (35x5)@(5xSW) dots with catastrophic
+            # MXU tile padding (measured 13x kernel slowdown at L=310).
+            D21A=sum(
+                OHpT[:, p][:, None, :, :] * T21bcT[:, p][:, :, None, :]
+                for p in range(5)
+            ),                                                  # (NS,35,SW,Lp)
+            D22A=sum(
+                OHpT[:, p][:, None, :, :] * T22cT[:, p][:, :, None, :]
+                for p in range(5)
+            ),
             OHpT=OHpT, OHqT=OHqT,
         )
         if "noint" in _ABLATE:
@@ -959,9 +968,12 @@ def alifold_fast(
         D21boT = jnp.einsum("smi,cm->sci", oh175iT, Ti21b_o)   # (NS,35,Lp)
         D22oT = jnp.einsum("smi,cm->sci", oh175iT, Ti22_o)     # (NS,175,Lp)
         # u-side i21b contraction hoisted out of the staircase blocks
-        # (exact: OHpoT one-hot over b)
-        EbA = jnp.einsum(
-            "sbui,stbi->stui", OHpoT, D21boT.reshape(NS, 7, 5, Lp)
+        # (exact: OHpoT one-hot over b; broadcast form, not einsum — see
+        # the D21A comment)
+        D21bo4 = D21boT.reshape(NS, 7, 5, Lp)
+        EbA = sum(
+            OHpoT[:, b][:, None, :, :] * D21bo4[:, :, b][:, :, None, :]
+            for b in range(5)
         )                                                      # (NS,7,SW,Lp)
 
         y0o = PAD + d
