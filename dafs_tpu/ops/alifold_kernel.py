@@ -299,9 +299,6 @@ def build_planes(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
     is bitwise-significant) and the hairpin product.  The per-sequence
     A-group/code planes moved on-device (build_gtabs + alifold_fast)."""
     RT = np.asarray(ep.RTYPE)
-    mmI = np.asarray(t["mmI"], F)
-    mm1n = np.asarray(t["mm1n"], F)
-    mm23 = np.asarray(t["mm23"], F)
     mmM = np.asarray(t["mmM"], F)
     mmExt = np.asarray(t["mmExt"], F)
     d5 = np.asarray(t["d5"], F)
@@ -318,11 +315,7 @@ def build_planes(t, S, S5, S3, a2s, pt7, tri_code, tetra_code, hexa_code,
         return np.where(x > 2, tau, F(1.0))
 
     # flat-table relays: T175[(tp-1)*25 + b5*5 + b3] == T[tp, b5, b3]
-    # (tp in 1..7); one np.take per plane replaces a 3-index fancy gather,
-    # and the C175 code planes are reused across the three tables
-    mmI175 = np.ascontiguousarray(mmI[1:8].reshape(175))
-    mm1n175 = np.ascontiguousarray(mm1n[1:8].reshape(175))
-    mm23175 = np.ascontiguousarray(mm23[1:8].reshape(175))
+    # (tp in 1..7); one np.take per plane replaces a 3-index fancy gather
     mmM175 = np.ascontiguousarray(mmM[1:8].reshape(175))
     mmExt175 = np.ascontiguousarray(mmExt[1:8].reshape(175))
     d5f = np.ascontiguousarray(d5.reshape(-1))   # [tp*5 + b]
