@@ -222,7 +222,9 @@ def main() -> None:
         fold_decoder="IPknot", use_bp_update1=True,
     )
     e2e_ipknot = run_e2e(opts=ipknot_opts)
+    e2e_ipknot_warm = run_e2e(opts=ipknot_opts)
     e2e_cf_ca = run_e2e(align="CONTRAlign", fold="CONTRAfold")
+    e2e_cf_ca_warm = run_e2e(align="CONTRAlign", fold="CONTRAfold")
 
     print(
         json.dumps(
@@ -278,7 +280,11 @@ def main() -> None:
                     "rf00005_e2e_first_s": round(e2e_first, 2),
                     "rf00005_e2e_warm_s": round(e2e_warm, 2),
                     "rf00005_e2e_ipknot_s": round(e2e_ipknot, 2),
+                    "rf00005_e2e_ipknot_warm_s": round(e2e_ipknot_warm, 2),
                     "rf00005_e2e_contrafold_contralign_s": round(e2e_cf_ca, 2),
+                    "rf00005_e2e_contrafold_contralign_warm_s": round(
+                        e2e_cf_ca_warm, 2
+                    ),
                     "backend": jax.devices()[0].platform,
                 },
             }
