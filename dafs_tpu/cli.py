@@ -57,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     gf.add_argument("-s", "--fold-model", default="Boltzmann",
                     choices=["Boltzmann", "Vienna", "CONTRAfold"],
                     help="Folding model for calculating base-pairing "
-                         "probabilities")
+                         "probabilities (note: without -P, 'Vienna' reuses "
+                         "the built-in BL* base tables — pass -P "
+                         "rna_turner2004.par for the exact Turner-2004 "
+                         "model)")
     gf.add_argument("--fold-decoder", default="Nussinov",
                     choices=["Nussinov", "IPknot"],
                     help="Decoder for common secondary structure prediction")

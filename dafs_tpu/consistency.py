@@ -225,7 +225,7 @@ def _sharded_pct(kind: str, mesh):
     key = (kind, id(mesh))
     if key not in _SHARDED_PCT:
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         if kind == "mp":
             fn = shard_map(

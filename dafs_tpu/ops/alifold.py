@@ -51,9 +51,15 @@ DM = np.array(
 _EXP_CACHE: dict = {}
 _SC_CACHE: dict = {}  # (n_seq, L_bucket) -> last successful pf scale
 # When set (pipeline._align's threaded layer prep), warm-start READS come
-# from this immutable snapshot so they are independent of thread timing;
-# successful scales still write through to _SC_CACHE for the next layer.
+# from this immutable snapshot so they are independent of thread timing.
+# Successful scales from worker threads are staged in _SC_PENDING (under
+# _SC_LOCK, combined with a fixed min() policy so the staged value does not
+# depend on thread completion order) and committed to _SC_CACHE only when
+# the layer joins — the NEXT layer's warm-starts are therefore deterministic
+# even when two merges share a (n_seq, L_bucket) key.
 _SC_FROZEN: dict | None = None
+_SC_PENDING: dict = {}
+_SC_LOCK = threading.Lock()
 # Guards the (global) jax.config persistent-cache toggle below when merge
 # prep runs multi-threaded (pipeline._align overlaps per-merge consensus
 # calls); only the CPU backend takes this lock.  NOTE: while one thread
@@ -67,13 +73,19 @@ _CFG_LOCK = threading.Lock()
 def sc_cache_frozen():
     """Freeze pf-scale warm-start reads for the duration of a threaded merge
     layer (see pipeline._align): all threads see the same snapshot, so the
-    0.8x/1.25x retry ladder is deterministic regardless of thread timing."""
+    0.8x/1.25x retry ladder is deterministic regardless of thread timing.
+    Writes are staged and committed once, after the layer joins."""
     global _SC_FROZEN
+    with _SC_LOCK:
+        _SC_PENDING.clear()
     _SC_FROZEN = dict(_SC_CACHE)
     try:
         yield
     finally:
         _SC_FROZEN = None
+        with _SC_LOCK:
+            _SC_CACHE.update(_SC_PENDING)
+            _SC_PENDING.clear()
 
 
 def _special_hp() -> bool:
@@ -684,7 +696,10 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
     # 0.8x/1.25x ladder only runs on cold keys.  pm = pout/Q is
     # scale-invariant up to f32 rounding.
     _sc_key = (nseq, L)
-    _sc_src = _SC_FROZEN if _SC_FROZEN is not None else _SC_CACHE
+    # capture the global once: the main thread may clear _SC_FROZEN between
+    # two reads issued from the background warm_shapes thread
+    _frozen = _SC_FROZEN
+    _sc_src = _frozen if _frozen is not None else _SC_CACHE
     sc = f32(_sc_src.get(_sc_key, np.exp(-0.6)))
     ok = False
     _timing = bool(os.environ.get("DAFS_TPU_TIMING"))
@@ -831,7 +846,17 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
                 ok = True
                 if not _warm:
-                    _SC_CACHE[_sc_key] = float(sc)
+                    if _frozen is not None:
+                        # threaded layer: stage under a fixed min() policy;
+                        # committed to _SC_CACHE when the layer joins
+                        with _SC_LOCK:
+                            prev = _SC_PENDING.get(_sc_key)
+                            _SC_PENDING[_sc_key] = (
+                                float(sc) if prev is None
+                                else min(prev, float(sc))
+                            )
+                    else:
+                        _SC_CACHE[_sc_key] = float(sc)
                 break
             if not np.isfinite(Qv) or Qv >= 1e25:
                 sc = f32(sc * 0.8)

@@ -314,10 +314,19 @@ class Dafs:
                     | {len(self.fa)}
                 )
                 ncols = max(len(f) for f in self.fa)
+                shapes = [(ns, ncols) for ns in sizes]
+                # merged alignments grow by a handful of inserted gap
+                # columns; when the raw max length sits within 8 of the
+                # 32-column bucket boundary, the production consensus calls
+                # will likely spill into the NEXT bucket — warm that too so
+                # the prefetch compiles the executables actually used
+                bucket = -(-ncols // 32) * 32
+                if bucket - ncols < 8:
+                    shapes += [(ns, bucket + 1) for ns in sizes]
                 sample = max((f.seq for f in self.fa), key=len)
                 _th.Thread(
                     target=self.alifold.warm_shapes,
-                    args=([(ns, ncols) for ns in sizes], sample),
+                    args=(shapes, sample),
                     daemon=True,
                 ).start()
         pending = set(internal)
