@@ -244,9 +244,9 @@ def _sharded_pct(kind: str, mesh):
 
 
 def _maybe_mesh():
-    if jax.device_count() > 1:
-        from dafs_tpu.parallel import mesh as pmesh
+    from dafs_tpu.parallel import mesh as pmesh
 
+    if pmesh.work_device_count() > 1:
         return pmesh.make_mesh()
     return None
 

@@ -460,6 +460,13 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
     q_z = np.zeros((L1, L2), np.float32)
     w_x = f(f(w) * 2 * n1 / (n1 + n2))
     w_y = f(f(w) * 2 * n2 / (n1 + n2))
+    if structure_decoder == "ipknot":
+        # persistent HiGHS models: variable/constraint skeleton built once,
+        # per-iteration solves only update costs/bounds and warm-start from
+        # the previous incumbent (the ILPs across DD iterations differ only
+        # in the multiplier matrices)
+        ipk_x = ipknot.IPknotModel(p_x, th_s, w_x, extra=in_cx)
+        ipk_y = ipknot.IPknotModel(p_y, th_s, w_y, extra=in_cy)
     eta = f(eta0)
     c = f(0.0)
     s_prev = f(0.0)
@@ -471,8 +478,8 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
 
     for t in range(t_max):
         if structure_decoder == "ipknot":
-            x, _str1, s1 = ipknot.decode(p_x, th_s, w=w_x, q=q_x)
-            y, _str2, s2 = ipknot.decode(p_y, th_s, w=w_y, q=q_y)
+            x, _str1, s1 = ipk_x.solve(q_x)
+            y, _str2, s2 = ipk_y.solve(q_y)
         else:
             sm_x = np.float32(w_x * (p_x - f(th_s[0])) - q_x)
             s1, x = native.sparse_nussinov(sm_x)

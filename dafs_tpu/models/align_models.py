@@ -45,13 +45,10 @@ class ProbCons(AlignModel):
     """ProbCons-RNA pair-HMM (default -a ProbCons)."""
 
     def batch_pair_posteriors(self, seqs1, seqs2):
-        import jax
-
         from dafs_tpu.ops import pairhmm
+        from dafs_tpu.parallel import mesh
 
-        if jax.device_count() > 1:
-            from dafs_tpu.parallel import mesh
-
+        if mesh.work_device_count() > 1:
             return mesh.sharded_pair_posteriors(seqs1, seqs2, self.th)
         return pairhmm.batch_posteriors(seqs1, seqs2, self.th)
 

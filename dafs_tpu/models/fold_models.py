@@ -51,13 +51,10 @@ class RNAfold(FoldModel):
         self.bl = bl
 
     def batch_bp_posteriors(self, seqs, constraints=None):
-        import jax
-
         from dafs_tpu.ops import mccaskill
+        from dafs_tpu.parallel import mesh
 
-        if jax.device_count() > 1:
-            from dafs_tpu.parallel import mesh
-
+        if mesh.work_device_count() > 1:
             return mesh.sharded_bp_posteriors(
                 seqs, self.th, bl=self.bl, constraints=constraints
             )

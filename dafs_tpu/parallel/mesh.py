@@ -14,6 +14,8 @@ per-pair outputs, which XLA lowers to all_gathers along the work axis.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -21,6 +23,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dafs_tpu.models import probcons_params as PP
 from dafs_tpu.ops import pairhmm
+
+_FORCE_SINGLE = False
+
+
+@contextlib.contextmanager
+def force_single_device():
+    """Run the pipeline as if one device were attached (all `shard when
+    device_count > 1` gates see 1).  Used by __graft_entry__.dryrun_multichip
+    to prove the sharded run is byte-identical to the single-device run in
+    the same process."""
+    global _FORCE_SINGLE
+    prev = _FORCE_SINGLE
+    _FORCE_SINGLE = True
+    try:
+        yield
+    finally:
+        _FORCE_SINGLE = prev
+
+
+def work_device_count() -> int:
+    """Device count as seen by the sharding gates (1 under
+    force_single_device)."""
+    return 1 if _FORCE_SINGLE else jax.device_count()
 
 
 def make_mesh(devices=None) -> Mesh:
