@@ -72,7 +72,7 @@ def _kmer_codes(s_codes: np.ndarray, k: int, L: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
+@functools.partial(jax.jit, static_argnames=("L", "dtype"))
 def _inside_outside(
     S, ptype_mat, allow_pair, allow_unpaired,
     tri_code, tetra_code, hexa_code, n, sc,
@@ -81,10 +81,15 @@ def _inside_outside(
     t_d5, t_d3, t_i11, t_i21, t_i22,
     t_mlb, t_mlc, t_mli, t_tau, t_ninio, t_lxc_hp, t_lxc_int, t_lxc_bulge,
     t_tetra, t_tri, t_hexa,
-    *, L,
+    *, L, dtype=jnp.float32,
 ):
-    """Returns (pout, Q). All index math is 1-based over padded length L."""
-    f = jnp.float32
+    """Returns (pout, Q). All index math is 1-based over padded length L.
+
+    dtype=float64 (under jax_enable_x64, with f64 table/sc inputs) runs the
+    whole recursion in double — the Vienna-precision replay used by
+    tools/f64_replay.py to test whether f32 accumulation explains the
+    residual RF00005 parity gap."""
+    f = dtype
     idx = jnp.arange(L + 2)
     RT = jnp.asarray(ep.RTYPE)
 
@@ -745,9 +750,14 @@ def _jax_tables(t):
     return {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in tab.items()}
 
 
-def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = None):
+def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = None,
+                 dtype=np.float32):
     """Dense (L, L) upper-triangular base-pair probability matrix, entries
-    kept strictly greater than th (src/fold.cpp:108-114)."""
+    kept strictly greater than th (src/fold.cpp:108-114).
+
+    dtype=np.float64 (requires jax_enable_x64) runs the partition function
+    in double precision; the returned matrix is still f32 (the pipeline's
+    working precision)."""
     t = _tables(bl)
     n = len(seq)
     L = _round_up(n, 32)
@@ -795,7 +805,7 @@ def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = 
         hexa_code=jnp.asarray(_kmer_codes(s, 8, L)),
         n=jnp.int32(n),
     )
-    f32 = np.float32
+    dt = dtype
     tab = {
         "t_stack": t["stack"], "t_hairpin": t["hairpin"], "t_bulge": t["bulge"],
         "t_internal": t["internal"], "t_mmH": t["mismatchH"], "t_mmI": t["mismatchI"],
@@ -803,24 +813,25 @@ def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = 
         "t_mmExt": t["mismatchExt"], "t_mmM": t["mismatchM"],
         "t_d5": t["dangle5"], "t_d3": t["dangle3"],
         "t_i11": t["int11"], "t_i21": t["int21"], "t_i22": t["int22"],
-        "t_mlb": f32(t["ml_base"]), "t_mlc": f32(t["ml_closing"]),
-        "t_mli": f32(t["ml_intern"]), "t_tau": f32(t["terminal_au"]),
+        "t_mlb": dt(t["ml_base"]), "t_mlc": dt(t["ml_closing"]),
+        "t_mli": dt(t["ml_intern"]), "t_tau": dt(t["terminal_au"]),
         "t_ninio": t["ninio"],
-        "t_lxc_hp": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
-        "t_lxc_int": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
-        "t_lxc_bulge": f32(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_lxc_hp": dt(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_lxc_int": dt(np.exp(-t["lxc"] * 10.0 / t["kt"])),
+        "t_lxc_bulge": dt(np.exp(-t["lxc"] * 10.0 / t["kt"])),
         "t_tetra": t["tetraloop"], "t_tri": t["triloop"], "t_hexa": t["hexaloop"],
     }
-    tab = {k: (jnp.asarray(np.asarray(v, np.float32))) for k, v in tab.items()}
+    tab = {k: (jnp.asarray(np.asarray(v, dtype))) for k, v in tab.items()}
+    jdt = jnp.float64 if dtype == np.float64 else jnp.float32
 
     # adaptive scale (Vienna's pf_scale^-1): downweight each column by the
     # expected per-base Boltzmann growth so q stays in float range; retry
     # smaller on overflow, larger on underflow.  Probabilities are
     # scale-invariant, so this only affects rounding.
-    sc = f32(np.exp(-0.6))  # ~ exp(+1.07 * (-0.35 kcal/base) * 10 / kT)
+    sc = dtype(np.exp(-0.6))  # ~ exp(+1.07 * (-0.35 kcal/base) * 10 / kT)
     ok = False
     for _ in range(16):
-        pout, Q = _inside_outside(**args, sc=jnp.float32(sc), **tab, L=L)
+        pout, Q = _inside_outside(**args, sc=jdt(sc), **tab, L=L, dtype=jdt)
         Qv = float(Q)
         if np.isfinite(Qv) and 1e-25 < Qv < 1e25:
             pm = np.asarray(pout)
