@@ -155,7 +155,27 @@ def main() -> None:
     # ---- consensus folding: alifold kernel (per-merge hot path) ----------
     from dafs_tpu.ops import alifold as ali
 
-    aln = [s + "-" * (max(map(len, seqs)) - len(s)) for s in seqs[:6]]
+    # realistic merged-alignment gap shape: short scattered runs (small
+    # B-group support bound BCUT); trailing-run padding is the worst case
+    def spread_gap_aln(rows):
+        ncols = max(map(len, rows))
+        out = []
+        for s in rows:
+            deficit = ncols - len(s)
+            nruns = -(-deficit // 3) if deficit else 0
+            cuts = [len(s) * (k + 1) // (nruns + 1) for k in range(nruns)]
+            row, prev, rem = [], 0, deficit
+            for c in cuts:
+                row.append(s[prev:c])
+                g = min(3, rem)
+                row.append("-" * g)
+                rem -= g
+                prev = c
+            row.append(s[prev:])
+            out.append("".join(row))
+        return out
+
+    aln = spread_gap_aln(seqs[:6])
     ta = time_reps(lambda: ali.consensus_bp(aln, 0.01), reps=5)
     dt_ali, iqr_ali = med_iqr(ta)
 
@@ -196,7 +216,28 @@ def main() -> None:
     from dafs_tpu.models import align_models, fold_models
     from dafs_tpu.typedefs import CUTOFF
 
-    def run_e2e(opts=None, align="ProbCons", fold="Boltzmann"):
+    import logging
+    import re
+
+    from dafs_tpu import pipeline as _pl  # noqa: F401
+    from dafs_tpu.utils.log import logger as _dafs_logger
+
+    class _PhaseGrab(logging.Handler):
+        """Collects pipeline per-phase INFO lines ('phase X: Ys')."""
+
+        def __init__(self):
+            super().__init__()
+            self.phases = {}
+
+        def emit(self, record):
+            m = re.match(r"phase (.+): ([0-9.]+)s", record.getMessage())
+            if m:
+                self.phases[m.group(1)] = (
+                    self.phases.get(m.group(1), 0.0) + float(m.group(2))
+                )
+
+    def run_e2e(opts=None, align="ProbCons", fold="Boltzmann", inputs=None,
+                phases_out=None):
         opts = opts or pipeline.Options()
         a_model = (
             align_models.CONTRAlign(opts.th_a)
@@ -211,12 +252,26 @@ def main() -> None:
         eng = pipeline.Dafs(
             a_model, s_model, opts, alifold_model=ali.Alifold(0.0, bl=fold != "CONTRAfold"),
         )
+        grab = None
+        if phases_out is not None:
+            grab = _PhaseGrab()
+            _dafs_logger.addHandler(grab)
+            prev_level = _dafs_logger.level
+            _dafs_logger.setLevel(logging.INFO)
         t0 = time.perf_counter()
-        eng.run(fa)
-        return time.perf_counter() - t0
+        eng.run(inputs if inputs is not None else fa)
+        dt = time.perf_counter() - t0
+        if grab is not None:
+            _dafs_logger.removeHandler(grab)
+            _dafs_logger.setLevel(prev_level)
+            phases_out.update(grab.phases)
+        return dt
 
     e2e_first = run_e2e()
-    e2e_warm = min(run_e2e() for _ in range(3))
+    # median of 3 + spread (the suite-wide medians+IQR policy; `min` was a
+    # round-3 inconsistency, VERDICT r3 weak #5)
+    e2e_warm_ts = [run_e2e() for _ in range(3)]
+    e2e_warm = statistics.median(e2e_warm_ts)
     ipknot_opts = pipeline.Options(
         th_s=(1 / 5, 1 / 9), th_s1=(1 / 3, 1 / 5),
         fold_decoder="IPknot", use_bp_update1=True,
@@ -225,6 +280,13 @@ def main() -> None:
     e2e_ipknot_warm = run_e2e(opts=ipknot_opts)
     e2e_cf_ca = run_e2e(align="CONTRAlign", fold="CONTRAfold")
     e2e_cf_ca_warm = run_e2e(align="CONTRAlign", fold="CONTRAfold")
+
+    # ---- config 3 end-to-end: RF00017 (long family; per-phase breakdown) -
+    e2e_17_first = run_e2e(inputs=fa17)
+    ph17: dict = {}
+    e2e_17_ts = [run_e2e(inputs=fa17)]
+    e2e_17_ts.append(run_e2e(inputs=fa17, phases_out=ph17))
+    e2e_17_warm = statistics.median(e2e_17_ts)
 
     print(
         json.dumps(
@@ -279,6 +341,14 @@ def main() -> None:
                     ),
                     "rf00005_e2e_first_s": round(e2e_first, 2),
                     "rf00005_e2e_warm_s": round(e2e_warm, 2),
+                    "rf00005_e2e_warm_spread_s": [
+                        round(t, 2) for t in sorted(e2e_warm_ts)
+                    ],
+                    "rf00017_e2e_first_s": round(e2e_17_first, 2),
+                    "rf00017_e2e_warm_s": round(e2e_17_warm, 2),
+                    "rf00017_e2e_warm_phases_s": {
+                        k: round(v, 2) for k, v in ph17.items()
+                    },
                     "rf00005_e2e_ipknot_s": round(e2e_ipknot, 2),
                     "rf00005_e2e_ipknot_warm_s": round(e2e_ipknot_warm, 2),
                     "rf00005_e2e_contrafold_contralign_s": round(e2e_cf_ca, 2),

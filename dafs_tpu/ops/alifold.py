@@ -524,16 +524,29 @@ class Alifold:
     def warm_shapes(self, shapes, sample_seq: str) -> None:
         """Prefetch the consensus executables for upcoming (n_seq, n_cols)
         shapes (deserialize + first dispatch, the expensive part under a
-        remote runtime).  Runs dummy gapless alignments; pf-scale cache
-        writes are suppressed so production retry ladders are unaffected.
-        Safe to call from a background thread (pipeline._align overlaps it
-        with the early merge layers)."""
+        remote runtime).  Each shape is warmed for BOTH B-group support
+        buckets production merges produce (BCUT=8: scattered short gap
+        runs; BCUT=16: one longer run) — the executable is specialized on
+        that static bound.  pf-scale cache writes are suppressed so
+        production retry ladders are unaffected.  Safe to call from a
+        background thread (pipeline._align overlaps it with the early
+        merge layers)."""
         for ns, ncols in shapes:
             s = (sample_seq * (ncols // len(sample_seq) + 1))[:ncols]
-            try:
-                consensus_bp([s] * ns, self.th, bl=self.bl, _warm=True)
-            except Exception:
-                pass  # warm-up only; production calls surface real errors
+            mid = ncols // 2
+            variants = [
+                # scattered 2-col runs -> maxw2 <= 7 -> BCUT 8
+                s[: mid - 6] + "--" + s[mid - 6 : mid] + "--"
+                + s[mid : ncols - 4],
+                # one 12-col run -> BCUT 16
+                s[: mid - 6] + "-" * 12 + s[mid - 6 : ncols - 12],
+            ] if ns > 1 and ncols > 40 else [s]
+            for row0 in variants:
+                aln = [row0[:ncols]] + [s] * (ns - 1)
+                try:
+                    consensus_bp(aln, self.th, bl=self.bl, _warm=True)
+                except Exception:
+                    pass  # warm-up only; production surfaces real errors
 
 
 def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
@@ -742,6 +755,36 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # DAFS_TPU_NS_BUCKETS=1/0 forces bucketing on/off.
         import os as _os
 
+        # Small-loop support bound (static): the pair-coupled B-group
+        # categories (stack/1-bulge/1x1/2x1/2x2) need a per-seq loop size
+        # <= 2 and the separable A-category indicators (1xN/2x3/bulge
+        # lines) a loop size <= 3 — i.e. an alignment window with <= 3
+        # non-gap positions.  The longest such window over all sequences
+        # bounds the (u, v) corner where those terms can fire; everything
+        # beyond is exact zero and is skipped
+        # (alifold_kernel.alifold_fast BCUT).
+        maxw3 = 3  # a gapless alignment: any 4-column window has 4 non-gaps
+        for s_i in range(NS):
+            pos = np.nonzero(S[s_i, 1 : n + 1] > 0)[0] + 1
+            q = np.concatenate([[0], pos, [n + 1] * 4])
+            if len(q) >= 5:
+                w = int((q[4:] - q[:-4]).max() - 1)
+            else:
+                w = n
+            maxw3 = max(maxw3, w)
+        # buckets {8, 16, 31}: merging the rare near-gapless case into 8
+        # keeps the executable-variant count low (Alifold.warm_shapes
+        # prefetches the 8 and 16 variants per shape)
+        BCUT = ak.SW
+        for b in (8, 16):
+            if maxw3 + 1 <= b:
+                BCUT = b
+                break
+        _bcut_env = os.environ.get("DAFS_TPU_BCUT")
+        if _bcut_env:
+            # dev override (tests/bitwise A/B): never below the proven bound
+            BCUT = max(BCUT, min(ak.SW, int(_bcut_env)))
+
         _knob = _os.environ.get("DAFS_TPU_NS_BUCKETS")
         if _knob == "0":
             bucket = False
@@ -815,13 +858,17 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # backend serializes these executables fine.
         _no_persist = jax.default_backend() == "cpu"
 
+        _valid_kw = (
+            dict(valid=jnp.asarray(valid)) if NS_pad > len(seqs) else {}
+        )
+
         def _call(sc):
             # alifold_fast goes through the persistent AOT trace cache
             # (utils/aot.py): warm processes skip ~5s/shape of tracing
             return ak.alifold_fast(
                 planes_j, loop_j, spec_j, psc_j, ap_j, au_j,
                 S5b, S3b, A2Sb, jnp.int32(n), jnp.float32(sc), bsn0,
-                L=L, NS=NS,
+                L=L, NS=NS, BCUT=BCUT, **_valid_kw,
             )
 
         for _ in range(24):
@@ -870,8 +917,10 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             from dafs_tpu.utils.log import logger as _lg
 
             _lg.info(
-                "alifold L=%d NS=%d: host_prep %.3fs xfer %.3fs kernel %.3fs",
-                n, nseq, _t1 - _t0, _t2 - _t1, _time.perf_counter() - _t2,
+                "alifold L=%d NS=%d BCUT=%d: host_prep %.3fs xfer %.3fs "
+                "kernel %.3fs",
+                n, nseq, BCUT, _t1 - _t0, _t2 - _t1,
+                _time.perf_counter() - _t2,
             )
         pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
         pm[pm <= th] = 0.0

@@ -433,10 +433,10 @@ def build_seq_planes(gtabs, Sb, S5b, S3b, valid, *, L, NS):
     )
 
 
-@aot.persistent_jit(static_argnames=("L", "NS"))
+@aot.persistent_jit(static_argnames=("L", "NS", "BCUT"))
 def alifold_fast(
     planes, loop_tabs, spec_tabs, psc_fac, allow_pair, allow_unpaired,
-    S5b, S3b, A2Sb, n, sc, bsn0, *, L, NS,
+    S5b, S3b, A2Sb, n, sc, bsn0, valid=None, *, L, NS, BCUT=SW,
 ):
     """Consensus inside+outside, gather-free.  Returns (pout, Q).
 
@@ -444,8 +444,37 @@ def alifold_fast(
     host-side (HP/EXT/MLSTEM/MLCLOSE) and the per-seq A-group/code planes
     built on device by build_seq_planes; S5b/S3b/A2Sb: (NS, PAD+Lp+PAD)
     padded per-seq vectors; bsn0 = expMLbase**NS (no sc).
+
+    BCUT (static): host-proven support bound for the small-loop-size terms
+    — the caller guarantees that every alignment window of BCUT or more
+    columns contains >= 4 non-gap positions in every sequence, so all
+    per-seq loop sizes at offsets >= BCUT exceed 3: the B-group masks
+    (sizes <= 2) and the separable A-category indicators (sizes <= 3)
+    vanish there.  The B-group (round-3's dominant block cost) is
+    then evaluated only on the (u, v < BCUT) corner; skipped terms are
+    exact zeros, outputs bitwise identical.  valid: (NS,) f32 marking
+    NS-bucketing pad rows (0.0) — their neutral K = 1.0 came from the
+    always-firing (0,0) B category, so outside the B sub-block it is
+    re-added explicitly.
     """
     f = jnp.float32
+    # NS-bucketing pad rows (valid == 0.0) have a2s identically 0, so the
+    # old full-block B evaluation gave them K = stack[NN][NN] = 1.0 at EVERY
+    # stencil cell; with the B sub-block cut, cells outside the sub-block
+    # must re-add that 1.0 to keep pad rows neutral in the prod over NS.
+    # valid=None (no bucketing) skips the fix statically.
+    pad_neutral = None if valid is None else (1.0 - valid)[:, None, None, None]
+
+    def _pad_outside_fix(K, u_ext, v0, v1):
+        if pad_neutral is None:
+            return K
+        bu = min(u_ext, BCUT)
+        bv1 = min(v1, BCUT)
+        inside = np.zeros((u_ext, v1 - v0), np.float32)
+        if bv1 > v0 and bu > 0:
+            inside[:bu, : bv1 - v0] = 1.0
+        outside = jnp.asarray(1.0 - inside)
+        return K + pad_neutral * outside[None, :, :, None]
     Lp = L + 2
     NROWS = Lp + 2 * RP
     idx = jnp.arange(Lp)
@@ -648,15 +677,27 @@ def alifold_fast(
         """w[x] = big[:, PAD + d + off - 30 + x], x in [0, 30+Lp)."""
         return jax.lax.dynamic_slice(big, (0, PAD + d + off - 30), (NS, 30 + Lp))
 
-    def interior_K(d, U2b, SQ1vb, OUTrow, INst, TP2st, Dl, u_ext, v0, v1):
+    def interior_K(d, U2b, SQ1vb, OUTrow, INst, TP2stB, Dl, u_ext, v0, v1,
+                   BCUT):
         """Per-seq interior factors K (NS, u_ext, v1-v0, Lp), one staircase
         block per call.
 
         U2b/SQ1vb: (NS, v1-v0, Lp) v-block-indexed; OUTrow: (4NS, Lp)
         per-diag A-group outer rows; INst: (4NS, u_ext, v1-v0, Lp) A-group
-        stencil block; TP2st: (NS, u_ext, v1-v0, Lp) inner pair types 0..6;
-        Dl: dict of per-diag B-group contractions (full-SW u axes, sliced
-        here).  The loop-size one-hot axis truncates to v1 (u2 <= v < v1).
+        stencil block; TP2stB: (NS, bu, bvb, Lp) inner pair types 0..6 on
+        the B sub-block only (None when the block has no B support);
+        Dl: dict of per-diag B-group contractions (u axes pre-cut to BCUT).
+        The loop-size one-hot axis truncates to v1 (u2 <= v < v1).
+
+        BCUT (static): host-proven bound — every per-seq loop size U1/U2
+        at column offsets >= BCUT exceeds 3 (no alignment window of BCUT
+        columns has <= 3 non-gap positions in any sequence), so the B-group
+        masks (loop sizes <= 2) and the separable-category indicators
+        (sizes <= 3) are identically zero for u or v >= BCUT.  The B group
+        is evaluated only on the [0:bu) x [v0:bv1) sub-block, the
+        separable A categories collapse to u-slabs in blocks with
+        v0 >= BCUT, and skipped terms are exact zeros — results bitwise
+        identical to the full-block evaluation.
         """
         OH31U2 = _oh(U2b, v1)                            # (NS, vb, Lp, v1)
 
@@ -668,7 +709,7 @@ def alifold_fast(
         # A group: sum over categories of out * T[u1,u2] * in.  Only the
         # general category contracts a loop-size one-hot (explicit
         # broadcast-multiply-reduce, NOT a dot: exactly one term per sum is
-        # nonzero, and XLA would otherwise pad each tiny batched 31^3 dot to
+        # nonzero, and XLA would otherwise pad each tiny batched 31^3 dots to
         # 128^3 MXU tiles); the other three categories are separable
         # (build_loop_tables) and use precomputed u-/v-side value planes.
         iu = Dl["IND_U"]
@@ -691,16 +732,42 @@ def alifold_fast(
             Tgen = jnp.sum(
                 W[:, :, None, :, :] * OH31U2[:, None, :, :, :], axis=-1
             )                                            # (NS, u_ext, vb, Lp)
-            T1n = ind_u(1) * f1_v + f1_u * ind_v(1)
-            T23 = Dl["C23"] * (ind_u(2) * ind_v(3) + ind_u(3) * ind_v(2))
-            Tblg = ind_u(0) * bu_v + bu_u * ind_v(0)
-            K = (oi(0) * Tgen + oi(1) * T1n + oi(2) * T23 + oi(3) * Tblg)
+            if v0 < BCUT:
+                T1n = ind_u(1) * f1_v + f1_u * ind_v(1)
+                T23 = Dl["C23"] * (ind_u(2) * ind_v(3) + ind_u(3) * ind_v(2))
+                Tblg = ind_u(0) * bu_v + bu_u * ind_v(0)
+                K = (oi(0) * Tgen + oi(1) * T1n + oi(2) * T23 + oi(3) * Tblg)
+            else:
+                # v >= BCUT: ind_v(a<=3) is identically zero (host-proven),
+                # so T23 dies and T1n/Tblg reduce to their u-side indicator
+                # terms, which live on the u < BCUT slab only.  The slab
+                # terms are mutually exclusive per cell (u1==1 vs u1==0), so
+                # the re-associated add stays bitwise identical.
+                K = oi(0) * Tgen
+                su = min(u_ext, BCUT)
+                if su > 0:
+                    def oi_slab(ci):
+                        outr = OUTrow[ci * NS : (ci + 1) * NS]
+                        return (outr[:, None, None, :]
+                                * INst[ci * NS : (ci + 1) * NS][:, :su])
+
+                    slab = (
+                        oi_slab(1) * (iu[1][:, :su, None, :] * f1_v)
+                        + oi_slab(3) * (iu[0][:, :su, None, :] * bu_v)
+                    )
+                    K = K.at[:, :su].add(slab)
         if "noB" in _ABLATE:
             return K
 
-        # B group: category masks from per-seq loop sizes
-        m_u = [iu[a][:, :u_ext] for a in range(3)]       # (NS, u_ext, Lp)
-        m_v = [iv[b][:, v0:v1] for b in range(3)]
+        # B group on its host-proven support sub-block only
+        bu = min(u_ext, BCUT)
+        bv1 = min(v1, BCUT)
+        if TP2stB is None or bv1 <= v0 or bu <= 0:
+            return K
+        bvb = bv1 - v0
+
+        m_u = [iu[a][:, :bu] for a in range(3)]          # (NS, bu, Lp)
+        m_v = [iv[b][:, v0:bv1] for b in range(3)]
 
         def mm(a, b):
             return m_u[a][:, :, None, :] * m_v[b][:, None, :, :]
@@ -710,18 +777,21 @@ def alifold_fast(
 
         # Unrolled FMA chains over the tiny inner alphabets (t2 in 0..6,
         # p/q in 0..4); every operand keeps i as the lane axis and nothing
-        # larger than one (NS, u_ext, vb, Lp) accumulator materializes.
-        OHq = Dl["OHqT"][:, :, v0:v1]                # (NS, 5, vb, Lp)
+        # larger than one (NS, bu, bvb, Lp) accumulator materializes.
+        OHq = Dl["OHqT"][:, :, v0:bv1]               # (NS, 5, bvb, Lp)
         m_sb = m00 + blg1 * (m01 + m10)
-        Bv = jnp.zeros_like(K)
+        # masks are mutually exclusive per cell (loop-size categories), so
+        # batched evaluation over a stacked category axis followed by one
+        # reduce adds only exact zeros in a different association — results
+        # stay bitwise identical to the per-category accumulation.
+        M2122 = jnp.stack([m21, m22], axis=1)        # (NS, 2, bu, bvb, Lp)
+        Bv = jnp.zeros((NS, bu, bvb, INst.shape[-1]), f)
         # D21/D22 are u-side quantities recomputed identically by every
-        # staircase block (u always starts at 0); Dl["D21A"]/["D22A"] hoist
-        # them to one full-SW per-diagonal contraction (inside_step) and
-        # blocks just slice — saves the sum(u_ext)/SW ~ 2.45x redundancy.
-        D21A = Dl["D21A"]                            # (NS, 35, SW, Lp)
-        D22A = Dl["D22A"]
+        # staircase block (u always starts at 0); Dl["D2A"] hoists both to
+        # one stacked per-diagonal contraction over u < BCUT (inside_step).
+        D2A = Dl["D2A"]                              # (NS, 2, 35, BCUT, Lp)
         for t2 in range(7):
-            sel = (TP2st == t2).astype(f)
+            sel = (TP2stB == t2).astype(f)
             acc = (
                 Dl["DstackT"][:, t2][:, None, None, :] * m_sb
                 + Dl["Di11T"][:, t2][:, None, None, :] * m11
@@ -730,18 +800,15 @@ def alifold_fast(
             Ea = sum(
                 OHq[:, q] * Dl["Di21aT"][:, t2 * 5 + q][:, None, :]
                 for q in range(5)
-            )                                        # (NS, vb, Lp)
-            S21 = jnp.zeros_like(K)
-            S22 = jnp.zeros_like(K)
+            )                                        # (NS, bvb, Lp)
+            S2 = jnp.zeros((NS, 2, bu, bvb, INst.shape[-1]), f)
             for q in range(5):
-                D21 = D21A[:, t2 * 5 + q, :u_ext]    # (NS, u_ext, Lp)
-                D22v = D22A[:, t2 * 5 + q, :u_ext]
-                S21 = S21 + OHq[:, q][:, None] * D21[:, :, None]
-                S22 = S22 + OHq[:, q][:, None] * D22v[:, :, None]
+                D2 = D2A[:, :, t2 * 5 + q, :bu]      # (NS, 2, bu, Lp)
+                S2 = S2 + OHq[:, q][:, None, None] * D2[:, :, :, None]
             Bv = Bv + sel * (
-                acc + Ea[:, None, :, :] * m12 + S21 * m21 + S22 * m22
+                acc + Ea[:, None, :, :] * m12 + (S2 * M2122).sum(axis=1)
             )
-        return K + Bv
+        return K.at[:, :bu, :bvb, :].add(Bv)
 
     # =========================== INSIDE ====================================
     def inside_step(carry, d):
@@ -790,20 +857,18 @@ def alifold_fast(
             DstackT=jnp.einsum("sti,tc->sci", oh7T, T7),        # (NS,7,Lp)
             Di11T=jnp.einsum("sci,ct->sti", oh175T, Ti11),      # (NS,7,Lp)
             Di21aT=jnp.einsum("sci,cm->smi", oh175T, Ti21a),    # (NS,35,Lp)
-            # full-SW u-side contractions, hoisted out of the staircase
-            # blocks (exact: OHpT is one-hot over p, so each output element
-            # has exactly one nonzero term regardless of reduction order).
-            # Explicit broadcast-multiply-sums, NOT einsum/dot: XLA lowers
-            # the equivalent batched (35x5)@(5xSW) dots with catastrophic
+            # u-side contractions over u < BCUT (the B-group's host-proven
+            # support), hoisted out of the staircase blocks (exact: OHpT is
+            # one-hot over p, so each output element has exactly one nonzero
+            # term regardless of reduction order).  Explicit
+            # broadcast-multiply-sums, NOT einsum/dot: XLA lowers the
+            # equivalent batched (35x5)@(5xSW) dots with catastrophic
             # MXU tile padding (measured 13x kernel slowdown at L=310).
-            D21A=sum(
-                OHpT[:, p][:, None, :, :] * T21bcT[:, p][:, :, None, :]
+            D2A=sum(
+                OHpT[:, p, :BCUT][:, None, None, :, :]
+                * jnp.stack([T21bcT, T22cT], axis=1)[:, :, p][:, :, :, None, :]
                 for p in range(5)
-            ),                                                  # (NS,35,SW,Lp)
-            D22A=sum(
-                OHpT[:, p][:, None, :, :] * T22cT[:, p][:, :, None, :]
-                for p in range(5)
-            ),
+            ),                                              # (NS,2,35,BCUT,Lp)
             OHpT=OHpT, OHqT=OHqT,
         )
         if "noint" in _ABLATE:
@@ -813,9 +878,15 @@ def alifold_fast(
             interior = jnp.zeros((Lp,), f)
             for v0, v1, u_ext in stair:
                 INst = stencil_in(IN_ST, d, u_ext, v0, v1)
-                TP2st = stencil_in(RT7L, d, u_ext, v0, v1)
+                bu = min(u_ext, BCUT)
+                bv1 = min(v1, BCUT)
+                TP2stB = (
+                    stencil_in(RT7L, d, bu, v0, bv1)
+                    if bv1 > v0 and bu > 0 else None
+                )
                 K = interior_K(d, U2[:, v0:v1], SQ1v[:, v0:v1], OUTrow,
-                               INst, TP2st, Dl, u_ext, v0, v1)
+                               INst, TP2stB, Dl, u_ext, v0, v1, BCUT)
+                K = _pad_outside_fix(K, u_ext, v0, v1)
                 Kp = jnp.prod(K, axis=0)           # (u_ext, vb, Lp)
                 M2qb = stencil_in(QBL[None], d, u_ext, v0, v1)[0]
                 interior = interior + jnp.einsum(
@@ -960,14 +1031,14 @@ def alifold_fast(
         Di21aoT = jnp.einsum("smi,cm->sci", oh35iT, Ti21a)     # (NS,175,Lp)
         D21boT = jnp.einsum("smi,cm->sci", oh175iT, Ti21b_o)   # (NS,35,Lp)
         D22oT = jnp.einsum("smi,cm->sci", oh175iT, Ti22_o)     # (NS,175,Lp)
-        # u-side i21b contraction hoisted out of the staircase blocks
-        # (exact: OHpoT one-hot over b; broadcast form, not einsum — see
-        # the D21A comment)
+        # u-side i21b contraction over u < BCUT, hoisted out of the
+        # staircase blocks (exact: OHpoT one-hot over b; broadcast form,
+        # not einsum — see the D21A comment)
         D21bo4 = D21boT.reshape(NS, 7, 5, Lp)
         EbA = sum(
-            OHpoT[:, b][:, None, :, :] * D21bo4[:, :, b][:, :, None, :]
+            OHpoT[:, b, :BCUT][:, None, :, :] * D21bo4[:, :, b][:, :, None, :]
             for b in range(5)
-        )                                                      # (NS,7,SW,Lp)
+        )                                                      # (NS,7,BCUT,Lp)
 
         y0o = PAD + d
         BU_vo = jax.lax.dynamic_slice(BU_vOJ, (0, 0, y0o), (NS, SW, Lp))
@@ -983,10 +1054,7 @@ def alifold_fast(
             OUTst_all = stencil_out(OUT_PSC, d, u_ext, v0, v1)
             OUTst = OUTst_all[: 4 * NS]
             PSCst = OUTst_all[4 * NS]
-            TPst = stencil_out(TP7L, d, u_ext, v0, v1)  # outer pair types
             OH31U2o = _oh(U2o[:, v0:v1], v1)            # (NS, vb, Lp, v1)
-            OHjv = OHjvT[:, :, v0:v1]                   # (NS, 5, vb, Lp)
-            OHpo = OHpoT[:, :, :u_ext]                  # (NS, 5, u_ext, Lp)
 
             def oiv(ci):
                 inr = INrow[ci * NS : (ci + 1) * NS]
@@ -1003,7 +1071,7 @@ def alifold_fast(
 
             if "noA" in _ABLATE:
                 K = jnp.zeros((NS, u_ext, v1 - v0, Lp), f)
-            else:
+            elif v0 < BCUT:
                 W = W1o["T_gen"][:, :u_ext, :, :v1]     # (NS, u_ext, Lp, v1)
                 Tgen = jnp.sum(
                     W[:, :, None, :, :] * OH31U2o[:, None, :, :, :], axis=-1
@@ -1015,9 +1083,47 @@ def alifold_fast(
                         + BU_uo[:, :u_ext, None, :] * ind_vo(0))
                 K = (oiv(0) * Tgen + oiv(1) * T1n + oiv(2) * T23
                      + oiv(3) * Tblg)
+            else:
+                # v >= BCUT: separable categories collapse to u-slabs
+                # (exclusive masks, bitwise-safe — see interior_K)
+                W = W1o["T_gen"][:, :u_ext, :, :v1]
+                Tgen = jnp.sum(
+                    W[:, :, None, :, :] * OH31U2o[:, None, :, :, :], axis=-1
+                )
+                K = oiv(0) * Tgen
+                su = min(u_ext, BCUT)
+                if su > 0:
+                    def oiv_slab(ci):
+                        inr = INrow[ci * NS : (ci + 1) * NS]
+                        return (inr[:, None, None, :]
+                                * OUTst[ci * NS : (ci + 1) * NS][:, :su])
 
-            m_u = [IND_UO[a][:, :u_ext] for a in range(3)]
-            m_v = [IND_VO[b][:, v0:v1] for b in range(3)]
+                    slab = (
+                        oiv_slab(1)
+                        * (IND_UO[1][:, :su, None, :]
+                           * F1N_vo[:, None, v0:v1, :])
+                        + oiv_slab(3)
+                        * (IND_UO[0][:, :su, None, :]
+                           * BU_vo[:, None, v0:v1, :])
+                    )
+                    K = K.at[:, :su].add(slab)
+
+            # B group on its host-proven support sub-block (see interior_K)
+            bu = min(u_ext, BCUT)
+            bv1 = min(v1, BCUT)
+            if "noB" in _ABLATE or bv1 <= v0 or bu <= 0:
+                Kp = jnp.prod(_pad_outside_fix(K, u_ext, v0, v1), axis=0) \
+                    * PSCst
+                M2C = stencil_out(CL[None], d, u_ext, v0, v1)[0]
+                return jnp.einsum("uvi,uvi,uv->i", M2C, Kp,
+                                  SCP[:u_ext, v0:v1])
+            bvb = bv1 - v0
+            TPst = stencil_out(TP7L, d, bu, v0, bv1)    # outer pair types
+            OHjv = OHjvT[:, :, v0:bv1]                  # (NS, 5, bvb, Lp)
+            OHpo = OHpoT[:, :, :bu]                     # (NS, 5, bu, Lp)
+
+            m_u = [IND_UO[a][:, :bu] for a in range(3)]
+            m_v = [IND_VO[b][:, v0:bv1] for b in range(3)]
 
             def mmk(a, b):
                 return m_u[a][:, :, None, :] * m_v[b][:, None, :, :]
@@ -1026,32 +1132,37 @@ def alifold_fast(
             m11, m12, m21, m22 = mmk(1, 1), mmk(1, 2), mmk(2, 1), mmk(2, 2)
 
             m_sb = m00 + blg1 * (m01 + m10)
-            Bv = jnp.zeros_like(K)
-            for t in range(7) if "noB" not in _ABLATE else ():
+            # stacked-category evaluation (masks mutually exclusive per
+            # cell, so the re-associated sums add only exact zeros and the
+            # result is bitwise identical — see interior_K)
+            M3 = jnp.stack([m11, m12, m22], axis=1)  # (NS, 3, bu, bvb, Lp)
+            TAB3 = jnp.stack([Di11oT, Di21aoT, D22oT], axis=1)  # (NS,3,175,Lp)
+            Bv = jnp.zeros((NS, bu, bvb, Lp), f)
+            for t in range(7):
                 sel = (TPst == t).astype(f)
                 acc = DstackoT[:, t][:, None, None, :] * m_sb
 
                 # outer code c175 = (t, b=si1(u-side), c=sj1(v-side)):
-                # stage the v-side contraction per b (small (NS, vb, Lp)
-                # arrays), then 5 block-FMAs over the u-side one-hot
-                def _bc(TAB, mask):
-                    out = jnp.zeros_like(K)
-                    for b in range(5):
-                        Fb = sum(
-                            OHjv[:, c]
-                            * TAB[:, t * 25 + b * 5 + c][:, None, :]
-                            for c in range(5)
-                        )                                # (NS, vb, Lp)
-                        out = out + OHpo[:, b][:, :, None] * Fb[:, None]
-                    return out * mask
-
-                acc = acc + _bc(Di11oT, m11) + _bc(Di21aoT, m12)
-                acc = acc + _bc(D22oT, m22)
+                # stage the v-side contraction per b (small (NS, 3, bvb, Lp)
+                # arrays), then 5 stacked block-FMAs over the u-side one-hot
+                out3 = jnp.zeros((NS, 3, bu, bvb, Lp), f)
+                for b in range(5):
+                    Fb3 = sum(
+                        OHjv[:, c][:, None]
+                        * TAB3[:, :, t * 25 + b * 5 + c][:, :, None, :]
+                        for c in range(5)
+                    )                                # (NS, 3, bvb, Lp)
+                    out3 = out3 + OHpo[:, b][:, None, :, None, :] \
+                        * Fb3[:, :, None]
+                acc = acc + (out3 * M3).sum(axis=1)
                 # i21b: outer code (t, si1) only (EbA hoisted per diagonal)
-                Eb = EbA[:, t, :u_ext]                   # (NS, u_ext, Lp)
+                Eb = EbA[:, t, :bu]                      # (NS, bu, Lp)
                 acc = acc + Eb[:, :, None, :] * m21
                 Bv = Bv + sel * acc
-            Kp = jnp.prod(K + Bv, axis=0) * PSCst
+            Ktot = _pad_outside_fix(
+                K.at[:, :bu, :bvb, :].add(Bv), u_ext, v0, v1
+            )
+            Kp = jnp.prod(Ktot, axis=0) * PSCst
             M2C = stencil_out(CL[None], d, u_ext, v0, v1)[0]
             return jnp.einsum("uvi,uvi,uv->i", M2C, Kp, SCP[:u_ext, v0:v1])
 

@@ -65,3 +65,23 @@ def test_ns_bucketing_neutral(monkeypatch):
     bucketed = np.asarray(alifold.consensus_bp(rows, 0.0))
     np.testing.assert_allclose(bucketed, exact, rtol=1e-6, atol=1e-7)
     assert ((exact > 0) == (bucketed > 0)).all()
+
+
+def test_bcut_bitwise_equals_full_block(monkeypatch):
+    """The B-group support cut (BCUT) must be bitwise-invisible: skipped
+    cells are host-proven exact zeros, so the output with the computed cut
+    equals the full 31x31 evaluation bit for bit — on a gappy alignment
+    whose windows exercise loop sizes around the bound."""
+    from dafs_tpu.ops import alifold
+
+    aln = [
+        "GGGCAACGACGG--UUCGUCG--AAACCC",
+        "GGGCAACG--GGCAUUCG--GCAAACCC-",
+        "GGGCA--GACGGCAUU--UCGGCAAACC-",
+    ]
+    monkeypatch.delenv("DAFS_TPU_BCUT", raising=False)
+    cut = alifold.consensus_bp(aln, 0.0)
+    monkeypatch.setenv("DAFS_TPU_BCUT", "31")
+    full = alifold.consensus_bp(aln, 0.0)
+    assert (cut == full).all()
+    assert cut.max() > 0.1  # non-degenerate case

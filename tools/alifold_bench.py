@@ -45,27 +45,54 @@ def main() -> None:
 
     fa = fasta.load_fasta("/root/reference/examples/RF00017:4.fa")
     print(f"backend: {jax.default_backend()}  L-bucket target: {args.L}")
-    for ns in (int(x) for x in args.ns.split(",")):
+
+    def build_aln(ns, spread: bool):
+        """spread=True: distribute each short row's gap deficit as scattered
+        short runs (the realistic merged-alignment shape — small BCUT);
+        spread=False: the old trailing-run padding (worst case, BCUT=31)."""
         seqs = [fa[i % len(fa)].seq for i in range(ns)]
-        Lmax = max(len(s) for s in seqs)
-        aln = [s + "-" * (Lmax - len(s)) for s in seqs]
-        # pad alignment columns up to roughly the requested bucket
-        if Lmax < args.L - 10:
-            aln = [r + "-" * (args.L - 10 - Lmax) for r in aln]
-        t0 = time.perf_counter()
-        ali.consensus_bp(aln, 0.01)
-        t_first = time.perf_counter() - t0
-        times = []
-        for _ in range(args.reps):
+        ncols = max(args.L - 10, max(len(s) for s in seqs))
+        out = []
+        for s in seqs:
+            deficit = ncols - len(s)
+            if not spread:
+                out.append(s + "-" * deficit)
+                continue
+            # insert the deficit as gap runs of <= 3 at evenly spaced points
+            nruns = -(-deficit // 3)
+            cuts = [len(s) * (k + 1) // (nruns + 1) for k in range(nruns)]
+            row = []
+            prev = 0
+            rem = deficit
+            for c in cuts:
+                row.append(s[prev:c])
+                g = min(3, rem)
+                row.append("-" * g)
+                rem -= g
+                prev = c
+            row.append(s[prev:])
+            out.append("".join(row))
+        assert all(len(r) == ncols for r in out), [len(r) for r in out]
+        return out
+
+    for ns in (int(x) for x in args.ns.split(",")):
+        for spread in (True, False):
+            aln = build_aln(ns, spread)
             t0 = time.perf_counter()
             ali.consensus_bp(aln, 0.01)
-            times.append(time.perf_counter() - t0)
-        med = statistics.median(times)
-        print(
-            f"NS={ns:>2}  L={len(aln[0])}  first {t_first*1e3:8.1f} ms   "
-            f"median-of-{args.reps} {med*1e3:8.1f} ms   "
-            f"(min {min(times)*1e3:.1f}, max {max(times)*1e3:.1f})"
-        )
+            t_first = time.perf_counter() - t0
+            times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                ali.consensus_bp(aln, 0.01)
+                times.append(time.perf_counter() - t0)
+            med = statistics.median(times)
+            tag = "spread-gaps" if spread else "tail-gaps  "
+            print(
+                f"NS={ns:>2}  L={len(aln[0])} {tag} first {t_first*1e3:8.1f} ms   "
+                f"median-of-{args.reps} {med*1e3:8.1f} ms   "
+                f"(min {min(times)*1e3:.1f}, max {max(times)*1e3:.1f})"
+            )
 
 
 if __name__ == "__main__":
