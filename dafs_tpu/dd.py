@@ -77,7 +77,7 @@ def _dd_core(
     cbp, cbp_valid,
     env_first, env_last,
     l1, l2, w_x, w_y, th_s0, th_a, eta0, n_cbp4,
-    *, L1, L2, U, t_max, update_rule="subgradient",
+    *, L1, L2, U, t_max, update_rule="subgradient", progress_every=0,
 ):
     ci, cj, ck, cl = cbp[:, 0], cbp[:, 1], cbp[:, 2], cbp[:, 3]
     ii1 = jnp.arange(L1)
@@ -188,6 +188,22 @@ def _dd_core(
         )
 
         done = violated == 0
+        if progress_every:
+            # per-N-iterations observability on the device while_loop,
+            # mirroring the reference's per-iteration debug line
+            # (src/dafs.cpp:1273-1276).  Host callback; enabled only via
+            # DAFS_TPU_DD_PROGRESS (the default path stays callback-free).
+            def _report(tt, ss, vv, ee):
+                logger.info(
+                    "DD step %d: bound=%.4f violated=%d eta=%.4f",
+                    int(tt), float(ss), int(vv), float(ee),
+                )
+
+            jax.lax.cond(
+                (t % progress_every) == 0,
+                lambda: jax.debug.callback(_report, t, s, violated, eta),
+                lambda: None,
+            )
         # step width (src/dafs.cpp:1283-1288, subgradient only); on break the
         # reference skips the eta update AND keeps the previous s_prev
         if update_rule == "subgradient":
@@ -221,10 +237,13 @@ def _dd_core(
     return s_prev, t, violated, x, y, z
 
 
-@aot.persistent_jit(static_argnames=("L1", "L2", "U", "t_max", "update_rule"))
-def _dd_device(*args, L1, L2, U, t_max, update_rule="subgradient"):
+@aot.persistent_jit(
+    static_argnames=("L1", "L2", "U", "t_max", "update_rule", "progress_every")
+)
+def _dd_device(*args, L1, L2, U, t_max, update_rule="subgradient",
+               progress_every=0):
     return _dd_core(*args, L1=L1, L2=L2, U=U, t_max=t_max,
-                    update_rule=update_rule)
+                    update_rule=update_rule, progress_every=progress_every)
 
 
 @aot.persistent_jit(static_argnames=("L1", "L2", "U", "t_max", "update_rule"))
@@ -405,7 +424,14 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
     w_x = f(f(w) * 2 * n1 / (n1 + n2))
     w_y = f(f(w) * 2 * n2 / (n1 + n2))
 
-    s, t, violated, x, y, z = _dd_device(
+    import os as _os
+
+    prog = int(_os.environ.get("DAFS_TPU_DD_PROGRESS", "0") or 0)
+    # host callbacks don't serialize into the persistent AOT export; use the
+    # plain jitted path when progress reporting is on (a debug mode)
+    dd_fn = _dd_device._jitted if prog else _dd_device
+
+    s, t, violated, x, y, z = dd_fn(
         jnp.asarray(pxp), jnp.asarray(pyp), jnp.asarray(pzp),
         jnp.zeros((P1, P1), jnp.float32), jnp.zeros((P2, P2), jnp.float32),
         jnp.zeros((P1, P2), jnp.float32),
@@ -416,6 +442,7 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
         w_x, w_y, f(th_s[0]), f(th_a), f(eta0),
         f(4.0 * max(len(cbp), 1)),
         L1=P1, L2=P2, U=U, t_max=t_max, update_rule=update_rule,
+        progress_every=prog,
     )
     logger.info("Step: %d, Violated: %d", int(t), int(violated))
     x = np.asarray(x)[:L1].astype(np.int64)
