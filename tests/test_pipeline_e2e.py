@@ -89,3 +89,41 @@ def test_version_flag(capsys):
         cli.main(["--version"])
     assert e.value.code == 0
     assert capsys.readouterr().out.strip() == "DAFS version 0.0.4"
+
+
+def test_verbose_dump_format(tiny_fa, capsys):
+    """-v 2 pins the per-DD-iteration dump to output_verbose's format
+    (src/dafs.cpp:875-894): group-1 rows, x bracket line, group-2 rows,
+    y bracket line, blank line — every iteration, before the final output."""
+    rc = cli.main(["-v", "2", tiny_fa])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    # the final output begins at the guide-tree s-expression line
+    tree_at = next(i for i, l in enumerate(out) if l.startswith("[ "))
+    dump = out[:tree_at]
+    assert dump, "no per-iteration dumps before the final output"
+    i = 0
+    blocks = 0
+    while i < len(dump):
+        # one block: (">" name / gapped row) x n1, brackets, same for
+        # group 2, then an empty line
+        width = None
+        for _g in range(2):
+            nrows = 0
+            while i < len(dump) and dump[i].startswith("> "):
+                row = dump[i + 1]
+                if width is None:
+                    width = len(row)
+                assert len(row) == width
+                assert re.fullmatch(r"[ACGUacgu-]+", row)
+                i += 2
+                nrows += 1
+            assert nrows >= 1
+            br = dump[i]
+            assert re.fullmatch(r"[().]*", br) and len(br) == width
+            assert br.count("(") == br.count(")")
+            i += 1
+        assert dump[i] == ""
+        i += 1
+        blocks += 1
+    assert blocks >= 1
