@@ -157,23 +157,7 @@ def main() -> None:
 
     # realistic merged-alignment gap shape: short scattered runs (small
     # B-group support bound BCUT); trailing-run padding is the worst case
-    def spread_gap_aln(rows):
-        ncols = max(map(len, rows))
-        out = []
-        for s in rows:
-            deficit = ncols - len(s)
-            nruns = -(-deficit // 3) if deficit else 0
-            cuts = [len(s) * (k + 1) // (nruns + 1) for k in range(nruns)]
-            row, prev, rem = [], 0, deficit
-            for c in cuts:
-                row.append(s[prev:c])
-                g = min(3, rem)
-                row.append("-" * g)
-                rem -= g
-                prev = c
-            row.append(s[prev:])
-            out.append("".join(row))
-        return out
+    from tools.benchutil import spread_gap_aln
 
     aln = spread_gap_aln(seqs[:6])
     ta = time_reps(lambda: ali.consensus_bp(aln, 0.01), reps=5)
@@ -284,7 +268,7 @@ def main() -> None:
     # ---- config 3 end-to-end: RF00017 (long family; per-phase breakdown) -
     e2e_17_first = run_e2e(inputs=fa17)
     ph17: dict = {}
-    e2e_17_ts = [run_e2e(inputs=fa17)]
+    e2e_17_ts = [run_e2e(inputs=fa17), run_e2e(inputs=fa17)]
     e2e_17_ts.append(run_e2e(inputs=fa17, phases_out=ph17))
     e2e_17_warm = statistics.median(e2e_17_ts)
 

@@ -766,12 +766,10 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         maxw3 = 3  # a gapless alignment: any 4-column window has 4 non-gaps
         for s_i in range(NS):
             pos = np.nonzero(S[s_i, 1 : n + 1] > 0)[0] + 1
+            # sentinels: column 0 below, four n+1 above — len(q) >= 5 always,
+            # and a gap-only sequence correctly yields the full-width window
             q = np.concatenate([[0], pos, [n + 1] * 4])
-            if len(q) >= 5:
-                w = int((q[4:] - q[:-4]).max() - 1)
-            else:
-                w = n
-            maxw3 = max(maxw3, w)
+            maxw3 = max(maxw3, int((q[4:] - q[:-4]).max() - 1))
         # buckets {8, 16, 31}: merging the rare near-gapless case into 8
         # keeps the executable-variant count low (Alifold.warm_shapes
         # prefetches the 8 and 16 variants per shape)

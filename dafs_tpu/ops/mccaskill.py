@@ -839,9 +839,9 @@ def bp_posterior(seq: str, th: float, bl: bool = True, constraint: str | None = 
                 ok = True
                 break
         if not np.isfinite(Qv) or Qv >= 1e25:
-            sc = f32(sc * 0.8)
+            sc = dt(sc * 0.8)
         else:
-            sc = f32(sc * 1.25)
+            sc = dt(sc * 1.25)
     if not ok:
         raise FloatingPointError(
             f"mccaskill: partition function did not stabilize (L={n})"

@@ -46,34 +46,17 @@ def main() -> None:
     fa = fasta.load_fasta("/root/reference/examples/RF00017:4.fa")
     print(f"backend: {jax.default_backend()}  L-bucket target: {args.L}")
 
+    from tools.benchutil import spread_gap_aln
+
     def build_aln(ns, spread: bool):
         """spread=True: distribute each short row's gap deficit as scattered
         short runs (the realistic merged-alignment shape — small BCUT);
         spread=False: the old trailing-run padding (worst case, BCUT=31)."""
         seqs = [fa[i % len(fa)].seq for i in range(ns)]
         ncols = max(args.L - 10, max(len(s) for s in seqs))
-        out = []
-        for s in seqs:
-            deficit = ncols - len(s)
-            if not spread:
-                out.append(s + "-" * deficit)
-                continue
-            # insert the deficit as gap runs of <= 3 at evenly spaced points
-            nruns = -(-deficit // 3)
-            cuts = [len(s) * (k + 1) // (nruns + 1) for k in range(nruns)]
-            row = []
-            prev = 0
-            rem = deficit
-            for c in cuts:
-                row.append(s[prev:c])
-                g = min(3, rem)
-                row.append("-" * g)
-                rem -= g
-                prev = c
-            row.append(s[prev:])
-            out.append("".join(row))
-        assert all(len(r) == ncols for r in out), [len(r) for r in out]
-        return out
+        if spread:
+            return spread_gap_aln(seqs, ncols)
+        return [s + "-" * (ncols - len(s)) for s in seqs]
 
     for ns in (int(x) for x in args.ns.split(",")):
         for spread in (True, False):

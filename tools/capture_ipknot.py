@@ -1,8 +1,9 @@
 """Capture the ILP workloads of an --ipknot run for offline iteration.
 
-Monkeypatches dd.solve_by_dd_ipknot and ipknot.decode to record every
-(p, th, w, q) decode input plus per-merge iteration counts, then runs the
-RF00005 --ipknot pipeline once and pickles the workload to
+Wraps BOTH IPknot solve paths — ipknot.decode (final/bp-update decodes) and
+IPknotModel.solve (the DD loop's persistent per-iteration models) — to
+record every (p, th, w, q) input plus wall time, then runs the RF00005
+--ipknot pipeline once and pickles the workload to
 /tmp/ipknot_workload.pkl.
 """
 import os
@@ -18,6 +19,7 @@ from dafs_tpu.decoders_ip import ipknot  # noqa: E402
 
 records = []
 orig_decode = ipknot.decode
+orig_solve = ipknot.IPknotModel.solve
 
 
 def wrapped(p, th, w=None, q=None, levelwise=True):
@@ -31,7 +33,21 @@ def wrapped(p, th, w=None, q=None, levelwise=True):
     return out
 
 
+def wrapped_solve(self, q=None):
+    t0 = time.perf_counter()
+    out = orig_solve(self, q)
+    records.append(dict(
+        p=np.asarray(self.p).copy(), th=[float(t) for t in self.th],
+        w=float(self.w),
+        q=None if q is None else np.asarray(q).copy(),
+        levelwise=self.levelwise, wall=time.perf_counter() - t0,
+        persistent=True,
+    ))
+    return out
+
+
 ipknot.decode = wrapped
+ipknot.IPknotModel.solve = wrapped_solve
 
 from dafs_tpu import cli  # noqa: E402
 
