@@ -49,6 +49,7 @@ DM = np.array(
 )
 
 _EXP_CACHE: dict = {}
+_KTAB_CACHE: dict = {}  # (bl, n_seq) -> (loop_tabs, spec_tabs, gtabs)
 _SC_CACHE: dict = {}  # (n_seq, L_bucket) -> last successful pf scale
 # When set (pipeline._align's threaded layer prep), warm-start READS come
 # from this immutable snapshot so they are independent of thread timing.
@@ -581,27 +582,23 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
     for s_i, s in enumerate(seqs):
         enc = ep.encode_rna(s.replace("-", "\0").replace("_", "\0"))
         S[s_i, 1 : n + 1] = enc
-    a2s = np.zeros((NS, L + 2), dtype=np.int32)
+    # Vienna S5[s][i] = the base preceding i (skipping gaps), S3[s][i] = the
+    # base following i; a2s = non-gap prefix counts.  Vectorized with
+    # forward/backward index fills (exact integer ops; S[:,0] == S[:,L+1]
+    # == 0 serve as the "no base" sentinels).
+    nz = S > 0
+    a2s = np.cumsum(nz, axis=1, dtype=np.int32)
+    a2s[:, n + 1 :] = a2s[:, n : n + 1]
+    cols = np.arange(L + 2)
+    ff = np.maximum.accumulate(np.where(nz, cols[None, :], 0), axis=1)
     S5 = np.zeros((NS, L + 2), dtype=np.int32)
+    S5[:, 1 : n + 1] = np.take_along_axis(S, ff, axis=1)[:, 0:n]
+    bpos = np.where(nz, cols[None, :], L + 1)
+    bf = np.minimum.accumulate(bpos[:, ::-1], axis=1)[:, ::-1]
     S3 = np.zeros((NS, L + 2), dtype=np.int32)
-    for s_i in range(NS):
-        cnt = 0
-        last = 0
-        for i in range(1, n + 1):
-            S5[s_i, i] = last
-            if S[s_i, i] > 0:
-                cnt += 1
-                last = S[s_i, i]
-            a2s[s_i, i] = cnt
-        a2s[s_i, n + 1 :] = cnt
-        nxt = 0
-        for i in range(n, 0, -1):
-            S3[s_i, i] = nxt
-            if S[s_i, i] > 0:
-                nxt = S[s_i, i]
-    # S5[i] should be the base 5' of i INCLUDING i's own... Vienna S5[s][i] is
-    # the base preceding i (skipping gaps), S3[s][i] the base following i.
-    # Our fill above matches that definition.
+    S3[:, 1 : n + 1] = np.take_along_axis(
+        S, np.minimum(bf, L + 1), axis=1
+    )[:, 2 : n + 2]
 
     psc_n = make_pscores(S[:, : n + 2], n)
     psc = np.full((L + 2, L + 2), -2.0 * UNIT * 10, dtype=np.float64)
@@ -654,19 +651,21 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
     tetra_code = np.zeros((NS, L + 2), dtype=np.int32)
     hexa_code = np.zeros((NS, L + 2), dtype=np.int32)
     for s_i in range(NS):
-        ung = S[s_i][S[s_i] > 0]
+        ung = S[s_i][S[s_i] > 0].astype(np.int64)
         m = len(ung)
-        for i in range(1, n + 1):
-            p0 = a2s[s_i, i]  # sequence position of the base at/before col i
-            if S[s_i, i] > 0:
-                for k, arr in ((5, tri_code), (6, tetra_code), (8, hexa_code)):
-                    if 1 <= p0 <= m - k + 1:
-                        v = 0
-                        for dd in range(k):
-                            v = v * 4 + int(ung[p0 + dd - 1]) - 1
-                        arr[s_i, i] = v
-                    else:
-                        arr[s_i, i] = 0
+        # vectorized k-mer codes over the ungapped sequence: vals[p] =
+        # base-4 packing of ung[p .. p+k-1] (exact integer arithmetic,
+        # identical to the old per-position loop); mapped back to non-gap
+        # alignment columns via a2s
+        cols_ng = np.nonzero(S[s_i, 1 : n + 1] > 0)[0] + 1  # (m,) columns
+        for k, arr in ((5, tri_code), (6, tetra_code), (8, hexa_code)):
+            if m < k:
+                continue
+            vals = np.zeros(m - k + 1, dtype=np.int64)
+            for dd in range(k):
+                vals = vals * 4 + (ung[dd : m - k + 1 + dd] - 1)
+            # column of the p0-th base (p0 = 1..m-k+1) gets vals[p0-1]
+            arr[s_i, cols_ng[: m - k + 1]] = vals.astype(np.int32)
 
     if not _special_hp():
         # open 2.4.18 question (STATUS.md "fold parity"): whether the
@@ -806,9 +805,16 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
             S3 = np.concatenate([S3, zrow])
             a2s = np.concatenate([a2s, zrow])
             NS = NS_pad
-        loop_tabs = ak.build_loop_tables(t2)
-        spec_tabs = ak.build_special_tables(t2)
-        gtabs = ak.build_gtabs(t2)
+        # pure functions of the kT(n_seq)-scaled tables: cache per key
+        # (rebuilding build_special_tables alone cost ~32 ms per call)
+        _tk = (bl, nseq)
+        if _tk not in _KTAB_CACHE:
+            _KTAB_CACHE[_tk] = (
+                ak.build_loop_tables(t2),
+                ak.build_special_tables(t2),
+                ak.build_gtabs(t2),
+            )
+        loop_tabs, spec_tabs, gtabs = _KTAB_CACHE[_tk]
         PADC = ak.PAD
         RIGHT = Lp + PADC
         def bigvec(arr, repl_last=False):

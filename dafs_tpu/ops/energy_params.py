@@ -172,6 +172,7 @@ def set_param_overrides(over: dict) -> None:
     mccaskill._EXP_CACHE.clear()
     mccaskill._FAST_TABLES.clear()
     alifold._EXP_CACHE.clear()
+    alifold._KTAB_CACHE.clear()
 
 
 def params(bl: bool = True) -> dict:
