@@ -76,15 +76,18 @@ def encode_pairs(fa, PP, pad=32):
 
 
 def measure_native_baseline(seqs1, seqs2, reps=3) -> float:
-    """Single-core C++ pair-HMM throughput (cell-state-updates/s), measured."""
-    from dafs_tpu import native
+    """Single-core C++ pair-HMM throughput (cell-state-updates/s), measured.
 
-    native.pairhmm_posterior(seqs1[0], seqs2[0])  # build/load the .so
+    Uses the reference-mirror scalar implementation from /oracle (test/bench
+    only, not part of the shipped package)."""
+    import oracle
+
+    oracle.pairhmm_posterior(seqs1[0], seqs2[0])  # build/load the .so
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for s1, s2 in zip(seqs1, seqs2):
-            native.pairhmm_posterior(s1, s2)
+            oracle.pairhmm_posterior(s1, s2)
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
     cells = sum((len(a) + 1) * (len(b) + 1) * 3 * 2 for a, b in zip(seqs1, seqs2))
@@ -242,13 +245,17 @@ def main() -> None:
             _dafs_logger.addHandler(grab)
             prev_level = _dafs_logger.level
             _dafs_logger.setLevel(logging.INFO)
-        t0 = time.perf_counter()
-        eng.run(inputs if inputs is not None else fa)
-        dt = time.perf_counter() - t0
-        if grab is not None:
-            _dafs_logger.removeHandler(grab)
-            _dafs_logger.setLevel(prev_level)
-            phases_out.update(grab.phases)
+        try:
+            t0 = time.perf_counter()
+            eng.run(inputs if inputs is not None else fa)
+            dt = time.perf_counter() - t0
+        finally:
+            # restore on any exit so a failing config can't leak the handler
+            # or leave the logger at INFO for subsequent configs
+            if grab is not None:
+                _dafs_logger.removeHandler(grab)
+                _dafs_logger.setLevel(prev_level)
+                phases_out.update(grab.phases)
         return dt
 
     e2e_first = run_e2e()

@@ -505,9 +505,27 @@ def solve_by_dd_ipknot(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
         # persistent HiGHS models: variable/constraint skeleton built once,
         # per-iteration solves only update costs/bounds and warm-start from
         # the previous incumbent (the ILPs across DD iterations differ only
-        # in the multiplier matrices)
-        ipk_x = ipknot.IPknotModel(p_x, th_s, w_x, extra=in_cx)
-        ipk_y = ipknot.IPknotModel(p_y, th_s, w_y, extra=in_cy)
+        # in the multiplier matrices).  If no direct HiGHS binding is
+        # importable (ipknot._highs_core), degrade to the slower but
+        # public-API per-iteration decode path.
+        try:
+            ipk_x = ipknot.IPknotModel(p_x, th_s, w_x, extra=in_cx)
+            ipk_y = ipknot.IPknotModel(p_y, th_s, w_y, extra=in_cy)
+        except ImportError:
+            logger.warning(
+                "no HiGHS binding for persistent IPknot models; "
+                "falling back to per-iteration ILP decodes"
+            )
+
+            class _DecodeShim:
+                def __init__(self, p, wv):
+                    self.p, self.wv = p, wv
+
+                def solve(self, q):
+                    return ipknot.decode(self.p, th_s, w=self.wv, q=q)
+
+            ipk_x = _DecodeShim(p_x, w_x)
+            ipk_y = _DecodeShim(p_y, w_y)
     eta = f(eta0)
     c = f(0.0)
     s_prev = f(0.0)

@@ -19,10 +19,33 @@ LEFT = "([{<ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 RIGHT = ")]}>abcdefghijklmnopqrstuvwxyz"
 
 
+def _highs_core():
+    """The persistent-model HiGHS binding: the public `highspy` package when
+    installed, else scipy's private vendored copy.  Raises ImportError when
+    neither is available — callers degrade to the per-iteration `decode`
+    path (scipy `milp`), which only needs the public scipy API."""
+    try:
+        import highspy as hs  # public package, stable API
+
+        return hs
+    except ImportError:
+        pass
+    from scipy.optimize._highspy import _core as hs  # scipy-private fallback
+
+    return hs
+
+
 def _build_rows(vars_, L, P, levelwise):
     """Constraint rows over a variable list (make_constraints,
     src/ipknot.cpp:139-248).  Returns (rows, lb, ub) with rows as
-    [(var, coeff), ...]."""
+    [(var, coeff), ...].
+
+    Note: the level-internal crossing rows are emitted in np.nonzero
+    row-major order (one directed row per crossing pair), which differs from
+    the historical inline a<b loop in decode(); the constraint SET is
+    identical, but MILP tie-breaking among equally-optimal structures could
+    in principle differ from pre-change decode outputs on degenerate
+    instances (observed snapshots are byte-stable)."""
     by_level: list[list[tuple[int, int, int]]] = [[] for _ in range(P)]
     for k, (lv, i, j) in enumerate(vars_):
         by_level[lv].append((k, i, j))
@@ -111,7 +134,7 @@ class IPknotModel:
     rows touching only pinned columns are vacuous."""
 
     def __init__(self, p, th, w, extra=None, levelwise=True):
-        from scipy.optimize._highspy import _core as hs
+        hs = _highs_core()  # raises ImportError -> caller falls back to decode()
 
         self._hs = hs
         f = np.float32
@@ -130,6 +153,8 @@ class IPknotModel:
         sup = (base > 0.0) & mask[None, :, :]
         if extra is not None:
             sup |= np.asarray(extra, bool)[None, :, :] & mask[None, :, :]
+        self._sup = sup
+        self._mask = mask
         lv_a, i_a, j_a = np.nonzero(sup)
         order = np.lexsort((lv_a, -i_a, j_a))
         self.lv_a, self.i_a, self.j_a = lv_a[order], i_a[order], j_a[order]
@@ -187,6 +212,21 @@ class IPknotModel:
                 - qa[self.i_a, self.j_a]
             )
         active = wts > 0.0
+        if q is not None and __debug__:
+            # invariant backing the superset construction (class docstring):
+            # the DD update drives q negative only at consensus-candidate
+            # cells, so every positive-score cell must lie inside the column
+            # superset — otherwise this solve would silently drop a variable
+            # the reference model would carry.
+            full = np.float32(
+                self.w * (self.p[None, :, :]
+                          - np.asarray(self.th, f)[:, None, None])
+                - qa[None, :, :]
+            )
+            outside = (full > 0.0) & self._mask[None, :, :] & ~self._sup
+            assert not outside.any(), (
+                "IPknotModel: positive-score cell outside the column superset"
+            )
         idx = np.arange(self.nv, dtype=np.int32)
         self.h.changeColsCost(self.nv, idx, np.where(active, -wts, 0.0).astype(np.float64))
         self.h.changeColsBounds(

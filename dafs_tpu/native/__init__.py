@@ -1,7 +1,10 @@
-"""Native host kernels (C++ via ctypes), built on first use.
+"""Native host decode kernels (C++ via ctypes), built on first use.
 
-Provides bit-exact, native-speed versions of the sequential host-side DPs —
-usable as large-L oracles for the device kernels and as fast host fallbacks.
+Scalar re-expressions of this project's device decoder formulations
+(ops/nussinov.py, ops/nw.py) for host-mode solves: the --ipknot DD loop and
+the -v 2 verbose loop decode on host every iteration (dd.solve_by_dd_ipknot).
+Bit-exactness against both the device kernels and the disclosed reference
+mirrors in /oracle is pinned by tests/test_native.py.
 """
 
 from __future__ import annotations
@@ -37,17 +40,8 @@ def lib() -> ctypes.CDLL:
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         L.sparse_nussinov_decode.restype = ctypes.c_float
         L.sparse_nussinov_decode.argtypes = [f32p, ctypes.c_int32, i32p]
-        L.nw_envelope.restype = None
-        L.nw_envelope.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_float, i64p]
         L.sparse_nw_decode.restype = ctypes.c_float
         L.sparse_nw_decode.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32, i64p, i32p]
-        L.similarity_score.restype = ctypes.c_float
-        L.similarity_score.argtypes = [f32p, ctypes.c_int32, ctypes.c_int32]
-        L.pairhmm_posterior.restype = ctypes.c_float
-        L.pairhmm_posterior.argtypes = [
-            i32p, ctypes.c_int32, i32p, ctypes.c_int32,
-            f32p, f32p, f32p, f32p, f32p,
-        ]
         _LIB = L
     return _LIB
 
@@ -60,14 +54,6 @@ def sparse_nussinov(sm: np.ndarray):
     return float(score), ss.astype(np.int64)
 
 
-def nw_envelope(p: np.ndarray, th: float):
-    p = np.ascontiguousarray(p, np.float32)
-    L1, L2 = p.shape
-    env = np.zeros((L1 + 1, 2), np.int64)
-    lib().nw_envelope(p, L1, L2, np.float32(th), env.reshape(-1))
-    return env
-
-
 def sparse_nw(sm: np.ndarray, env: np.ndarray):
     sm = np.ascontiguousarray(sm, np.float32)
     L1, L2 = sm.shape
@@ -76,31 +62,3 @@ def sparse_nw(sm: np.ndarray, env: np.ndarray):
         sm, L1, L2, np.ascontiguousarray(env, np.int64).reshape(-1), al
     )
     return float(score), al.astype(np.int64)
-
-
-def similarity(mp: np.ndarray) -> float:
-    mp = np.ascontiguousarray(mp, np.float32)
-    return float(lib().similarity_score(mp, mp.shape[0], mp.shape[1]))
-
-
-def pairhmm_posterior(seq1: str, seq2: str):
-    """Scalar single-core ProbCons posterior (native C++; measured baseline
-    + large-L oracle for the batched TPU kernels).  Returns (total, post)."""
-    from dafs_tpu.models import probcons_params as P
-
-    t = P.log_tables()
-    L1, L2 = len(seq1), len(seq2)
-    c1 = np.zeros(L1 + 1, np.int32)
-    c2 = np.zeros(L2 + 1, np.int32)
-    c1[1:] = P.encode(seq1)
-    c2[1:] = P.encode(seq2)
-    post = np.empty((L1, L2), np.float32)
-    total = lib().pairhmm_posterior(
-        c1, L1, c2, L2,
-        np.ascontiguousarray(t["init"], np.float32),
-        np.ascontiguousarray(t["trans"], np.float32).reshape(-1),
-        np.ascontiguousarray(t["match"], np.float32).reshape(-1),
-        np.ascontiguousarray(t["ins"], np.float32),
-        post.reshape(-1),
-    )
-    return float(total), post

@@ -94,3 +94,41 @@ def test_ipknot_decode_non_levelwise():
     ss, s, score = ipknot.decode(p, [0.2, 0.1, 0.05], levelwise=False)
     assert ss[0] == 14 and ss[4] == 20 and ss[8] == 26
     assert s == "((..[[..{{...))....]]....}}...", s
+
+
+def _random_ipknot_instance(rng, L=24, th=(0.2, 1 / 9.0)):
+    """Random sparse p plus a DD-style q: negative entries confined to a
+    random `extra` (consensus-candidate) set, non-negative elsewhere — the
+    invariant IPknotModel's column superset relies on."""
+    p = np.float32(rng.random((L, L)) * (rng.random((L, L)) < 0.15))
+    p = np.triu(p, 1)
+    extra = (rng.random((L, L)) < 0.1) & (np.triu(np.ones((L, L), bool), 1))
+    q = np.float32(np.abs(rng.normal(0, 0.05, (L, L))))
+    neg = np.float32(-np.abs(rng.normal(0, 0.2, (L, L))))
+    q = np.where(extra, neg, q)
+    q = np.float32(np.triu(q, 1))
+    return p, q, extra, list(th)
+
+
+def test_ipknot_model_matches_decode_oracle():
+    """IPknotModel (persistent HiGHS skeleton + cost/bound updates) solves
+    the SAME ILP as the from-scratch decode() on every q, including q that
+    activates extra (consensus-candidate) columns — the correctness claim
+    behind using it inside the DD loop (dd.solve_by_dd_ipknot)."""
+    w = np.float32(4.0)
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        p, q, extra, th = _random_ipknot_instance(rng)
+        model = ipknot.IPknotModel(p, th, w, extra=extra)
+        for it in range(3):
+            ss_m, str_m, sc_m = model.solve(q)
+            ss_d, str_d, sc_d = ipknot.decode(p, th, w=w, q=q)
+            # random continuous weights -> the optimum is a.s. unique
+            assert abs(sc_m - sc_d) < 1e-6, (trial, it, sc_m, sc_d)
+            np.testing.assert_array_equal(ss_m, ss_d)
+            assert str_m == str_d
+            # next DD-style q: drift the multipliers, keeping negatives
+            # confined to the extra cells
+            q = np.float32(q + rng.normal(0, 0.02, q.shape))
+            q = np.where(extra, q, np.abs(q))
+            q = np.float32(np.triu(q, 1))
