@@ -286,13 +286,38 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     return jnp.where(valid, post[:, 1:, 1:], 0.0)
 
 
-# Pallas kernel batch ceiling: its scoped-VMEM stack allocation grows with
-# the batch dimension and overflows the 16 MB limit around B~1200 at
-# family-scale lengths (observed: 16.24M requested at B=1232, imax 193).
-# Chunks of 512 stay well under the limit at every shipped length bucket
-# while keeping the MXU/VPU saturated; per-pair results are independent, so
-# chunking is bitwise-neutral.
-_PALLAS_MAX_B = 512
+# Pallas kernel batch chunk: measured on v5e, the kernel sustains ~2.2x the
+# per-element rate at a 48-row batch (state planes stay register/VMEM-hot
+# across the KB sub-steps) versus 96+ rows, so wide all-pairs batches run as
+# an in-executable lax.scan over 48-row sub-batches — one dispatch (the axon
+# relay charges a fixed ~28 ms stall per dispatch), each iteration at the
+# fast narrow-batch rate.  Per-pair results are independent and the kernel's
+# per-row computation is batch-size-invariant, so chunking is
+# bitwise-neutral (asserted vs the unchunked lax path in tools/bench_pairhmm
+# and tests/test_pairhmm.py).
+_PALLAS_CHUNK_B = 48
+
+
+@functools.partial(jax.jit, static_argnames=("l1max", "l2max"))
+def _chunked_pallas_fbp(codes1, len1, codes2, len2, *, l1max, l2max):
+    from dafs_tpu.ops import pairhmm_pallas
+
+    B = codes1.shape[0]
+    CB = _PALLAS_CHUNK_B
+    nch = -(-B // CB)
+    pad = nch * CB - B
+    c1 = jnp.pad(codes1, ((0, pad), (0, 0))).reshape(nch, CB, -1)
+    l1 = jnp.pad(len1, (0, pad)).reshape(nch, CB)
+    c2 = jnp.pad(codes2, ((0, pad), (0, 0))).reshape(nch, CB, -1)
+    l2 = jnp.pad(len2, (0, pad)).reshape(nch, CB)
+
+    def step(_, ch):
+        return None, pairhmm_pallas.forward_backward_posterior(
+            *ch, l1max=l1max, l2max=l2max
+        )
+
+    _, outs = jax.lax.scan(step, None, (c1, l1, c2, l2))
+    return outs.reshape(nch * CB, l1max, l2max)[:B]
 
 
 def best_forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
@@ -302,19 +327,13 @@ def best_forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max)
         from dafs_tpu.ops import pairhmm_pallas
 
         B = codes1.shape[0]
-        if B <= _PALLAS_MAX_B:
+        if B <= _PALLAS_CHUNK_B:
             return pairhmm_pallas.forward_backward_posterior(
                 codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
             )
-        outs = [
-            pairhmm_pallas.forward_backward_posterior(
-                codes1[s : s + _PALLAS_MAX_B], len1[s : s + _PALLAS_MAX_B],
-                codes2[s : s + _PALLAS_MAX_B], len2[s : s + _PALLAS_MAX_B],
-                l1max=l1max, l2max=l2max,
-            )
-            for s in range(0, B, _PALLAS_MAX_B)
-        ]
-        return jnp.concatenate(outs, axis=0)
+        return _chunked_pallas_fbp(
+            codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
+        )
     return forward_backward_posterior(
         codes1, len1, codes2, len2, l1max=l1max, l2max=l2max
     )

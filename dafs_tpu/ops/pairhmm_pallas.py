@@ -2,18 +2,31 @@
 
 Same computation as ops/pairhmm.forward_backward_posterior (the anti-diagonal
 wavefront over probconsRNA/ProbabilisticModel.h:105-259), but the whole
-diagonal scan runs inside one Mosaic kernel: the six rolling state planes
-live in VMEM scratch across sequential grid steps, each step emits one
-(B, imax) M-plane diagonal to HBM, and the end-cell/origin-cell states needed
-for the total probability (ProbabilisticModel.h:337-365) are captured with
-masked lane reductions.  This removes the per-step XLA while-loop overhead
-that dominates the lax.scan formulation at tRNA lengths.
+diagonal scan runs inside Mosaic kernels with the six rolling state planes in
+VMEM scratch, and — new in round 5 — **k-diagonal blocking**: each grid step
+processes KB anti-diagonals (python-unrolled; the recurrence stays sequential
+inside the step, state planes live in vector registers between the KB
+sub-steps and only touch VMEM scratch once per super-step).  This amortizes
+the per-step fixed costs that dominated the one-diagonal-per-step kernel at
+wavefront widths of ~14k elements (measured ~8% of the VPU ceiling): block
+DMA setup, plane save/restore, mask iotas, and the end-cell capture logic,
+which is now *gated* to the few diagonals where a capture can fire (d <= 2
+and the [min, max] end-diagonal range) via an SMEM scalar range instead of
+running its ~20 vector ops every step.
+
+Grid layout: (B-chunks, ndiag/KB).  The batch is chunked so that the three
+double-buffered (KB, Bch, IP) diagonal blocks plus scratch fit VMEM; (KB,
+Bch) is chosen at trace time to minimize the total super-step count.  The
+backward kernel needs emissions at d+1/d+2, which cross the block boundary;
+instead of reading the neighbor block a second time, the two lowest
+diagonals of each block are saved to a small scratch carry for the next
+(descending) super-step — values that cross into padding are provably never
+consumed under the has_m/has_x/has_y masks (their consumers require
+d+2 <= len1+len2), so a zero-initialized carry is bitwise-neutral.
 
 Emissions are prematerialized diagonal-major OUTSIDE the kernel with the
 gather-free shear (one-hot einsum over reversed codes2, then a pad+reshape),
-and the grid index maps stream one (B, imax) diagonal block per step -
-Mosaic cannot vector-load at dynamic lane offsets, so the dynamic-slice
-formulation of the lax.scan path does not port directly.
+now flipped to direct-d indexing so KB-blocks are contiguous reads.
 
 Numerics: identical float32 expression trees (the LOG_ADD piecewise cubic of
 ScoreType.h:259-262, same accumulation order), so the posteriors match the
@@ -39,6 +52,10 @@ from dafs_tpu.ops import pairhmm as _ph
 # pallas_call; recreate them inline inside the kernels instead
 _LZ = -2e20
 _LU = 7.5
+
+# VMEM budget for the auto-picked (KB, Bch) block plan; leaves headroom for
+# Mosaic's own buffers under the ~16MB/core limit
+_VMEM_BUDGET = 15 * 2**20
 
 
 def _log_add_inline(x, y):
@@ -69,179 +86,257 @@ def _shift_left_lanes(x, fill):
     )
 
 
+def _plan_blocks(Bt, IP, ndiag):
+    """Pick (KB, Bch) minimizing the super-step count under the VMEM budget.
+
+    Measured VMEM model (from Mosaic's scoped-allocation reports on v5e):
+    3 double-buffered (KB, Bch, IP) diagonal block arrays (in: MD, ED; out:
+    fm/bm) plus ~26 (Bch, IP)-plane equivalents of scratch, carries, and
+    live sub-step temporaries.  Full-width (Bch == Bt) blocks measured
+    fastest; B-chunking is the fallback for batches too wide to fit."""
+    import os
+
+    force = os.environ.get("DAFS_TPU_PAIRHMM_KB")
+    force_bch = os.environ.get("DAFS_TPU_PAIRHMM_BCH")
+    if force and force_bch:
+        return int(force), int(force_bch)
+    kbs = [int(force)] if force else [16, 12, 8, 6, 4, 3, 2]
+
+    def fits(kb, bch):
+        return (3 * 2 * kb + 26) * bch * IP * 4 <= _VMEM_BUDGET
+
+    best = None
+    for nc in range(1, 65):
+        bch = _round_up(-(-Bt // nc), 8)
+        nreal = -(-Bt // bch)
+        for kb in kbs:
+            if fits(kb, bch):
+                steps = nreal * (-(-ndiag // kb))
+                key = (steps, nreal, -kb)
+                if best is None or key < best[0]:
+                    best = (key, kb, bch)
+                break
+    if best is None:  # degenerate tiny-VMEM fallback
+        return 2, 8
+    return best[1], best[2]
+
+
 def _fwd_kernel(
-    md_ref, e2_ref, ins1_ref, len1_ref, len2_ref,
+    dcap_ref, md_ref, e2_ref, ins1_ref, len1_ref, len2_ref,
     fm_ref, fcap_ref,
     pm0, px0, py0, mm, mx, my, cap,
-    *, ndiag, Bt, IP, trans, init_log,
+    *, KB, Bch, IP, trans, init_log,
 ):
-    d = pl.program_id(1)
+    s = pl.program_id(1)
+    d0 = s * KB
 
-    @pl.when(d == 0)
+    @pl.when(s == 0)
     def _():
         for ref in (pm0, px0, py0, mm, mx, my):
-            ref[:] = jnp.full((Bt, IP), jnp.float32(_LZ), jnp.float32)
-        cap[:] = jnp.zeros((Bt, 128), jnp.float32)
+            ref[:] = jnp.full((Bch, IP), jnp.float32(_LZ), jnp.float32)
+        cap[:] = jnp.zeros((Bch, 128), jnp.float32)
 
-    m_d = md_ref[0, :, :]
-    e2_d = e2_ref[0, :, :]
     ins1 = ins1_ref[0, :, :]
-
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (Bt, IP), 1)
-    j_idx = d - i_idx
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (Bch, IP), 1)
     len1b = len1_ref[:, 0][:, None]
     len2b = len2_ref[:, 0][:, None]
-    valid = (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
-    not_init = (i_idx > 1) | (j_idx > 1)
 
-    mm_v, mx_v, my_v = mm[:], mx[:], my[:]
+    # state planes as registers across the KB sub-steps
     pm_v, px_v, py_v = pm0[:], px0[:], py0[:]
+    m2_v, x2_v, y2_v = mm[:], mx[:], my[:]
 
-    m_in = _shift_right_lanes(mm_v, jnp.float32(_LZ))
-    x_in = _shift_right_lanes(mx_v, jnp.float32(_LZ))
-    y_in = _shift_right_lanes(my_v, jnp.float32(_LZ))
-    acc = m_in + jnp.float32(trans[0, 0])
-    acc = _log_add_inline(acc, x_in + jnp.float32(trans[1, 0]))
-    acc = _log_add_inline(acc, y_in + jnp.float32(trans[2, 0]))
-    m_new = acc + m_d
-    m_ok = valid & not_init & (i_idx > 0) & (j_idx > 0)
-    m_new = jnp.where(m_ok, m_new, jnp.float32(_LZ))
+    # capture gate: this block can contain d in {1, 2} or an end diagonal
+    # in [dlo, dhi].  Captures run inline per sub-step (keeping all KB
+    # sub-step planes live for a deferred pass overflows VMEM).
+    fire = (d0 <= 2) | (
+        (d0 + (KB - 1) >= dcap_ref[0, 0]) & (d0 <= dcap_ref[0, 1])
+    )
 
-    pm_s = _shift_right_lanes(pm_v, jnp.float32(_LZ))
-    px_s = _shift_right_lanes(px_v, jnp.float32(_LZ))
-    x_new = ins1 + _log_add_inline(
-        pm_s + jnp.float32(trans[0, 1]), px_s + jnp.float32(trans[1, 1])
-    )
-    x_ok = valid & not_init & (i_idx > 0)
-    x_new = jnp.where(x_ok, x_new, jnp.float32(_LZ))
-
-    y_new = e2_d + _log_add_inline(
-        pm_v + jnp.float32(trans[0, 2]), py_v + jnp.float32(trans[2, 2])
-    )
-    y_ok = valid & not_init & (j_idx > 0)
-    y_new = jnp.where(y_ok, y_new, jnp.float32(_LZ))
-
-    m_new = jnp.where(
-        (i_idx == 1) & (j_idx == 1), jnp.float32(init_log[0]) + m_d, m_new
-    )
-    x_new = jnp.where(
-        (i_idx == 1) & (j_idx == 0) & (1 <= len1b),
-        jnp.float32(init_log[1]) + ins1,
-        x_new,
-    )
-    y_new = jnp.where(
-        (i_idx == 0) & (j_idx == 1) & (1 <= len2b),
-        jnp.float32(init_log[2]) + e2_d,
-        y_new,
-    )
-    m_new = jnp.where(valid & (i_idx > 0) & (j_idx > 0), m_new, jnp.float32(_LZ))
-
-    # capture cells for ComputeTotalProbability: (len1, len2) all states,
-    # plus f_M(1,1), f_X(1,0), f_Y(0,1)
     def lane_pick(vals, mask):
         return jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
 
-    c = cap[:]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
-    at_end = (i_idx == len1b) & (j_idx == len2b)
-    endr = at_end.any(axis=1)[:, None]
-    c = jnp.where((col == 0) & endr, lane_pick(m_new, at_end)[:, None], c)
-    c = jnp.where((col == 1) & endr, lane_pick(x_new, at_end)[:, None], c)
-    c = jnp.where((col == 2) & endr, lane_pick(y_new, at_end)[:, None], c)
-    m11 = (i_idx == 1) & (j_idx == 1)
-    x10 = (i_idx == 1) & (j_idx == 0)
-    y01 = (i_idx == 0) & (j_idx == 1)
-    c = jnp.where((col == 3) & (d == 2), lane_pick(m_new, m11)[:, None], c)
-    c = jnp.where((col == 4) & (d == 1), lane_pick(x_new, x10)[:, None], c)
-    c = jnp.where((col == 5) & (d == 1), lane_pick(y_new, y01)[:, None], c)
-    cap[:] = c
+    for t in range(KB):
+        d = d0 + t
+        m_d = md_ref[t, :, :]
+        e2_d = e2_ref[t, :, :]
+        j_idx = d - i_idx
+        valid = (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
+        not_init = (i_idx > 1) | (j_idx > 1)
 
-    fm_ref[0, :, :] = m_new
-    fcap_ref[:] = c
+        m_in = _shift_right_lanes(m2_v, jnp.float32(_LZ))
+        x_in = _shift_right_lanes(x2_v, jnp.float32(_LZ))
+        y_in = _shift_right_lanes(y2_v, jnp.float32(_LZ))
+        acc = m_in + jnp.float32(trans[0, 0])
+        acc = _log_add_inline(acc, x_in + jnp.float32(trans[1, 0]))
+        acc = _log_add_inline(acc, y_in + jnp.float32(trans[2, 0]))
+        m_new = acc + m_d
+        m_ok = valid & not_init & (i_idx > 0) & (j_idx > 0)
+        m_new = jnp.where(m_ok, m_new, jnp.float32(_LZ))
 
-    mm[:], mx[:], my[:] = pm_v, px_v, py_v
-    pm0[:], px0[:], py0[:] = m_new, x_new, y_new
+        pm_s = _shift_right_lanes(pm_v, jnp.float32(_LZ))
+        px_s = _shift_right_lanes(px_v, jnp.float32(_LZ))
+        x_new = ins1 + _log_add_inline(
+            pm_s + jnp.float32(trans[0, 1]), px_s + jnp.float32(trans[1, 1])
+        )
+        x_ok = valid & not_init & (i_idx > 0)
+        x_new = jnp.where(x_ok, x_new, jnp.float32(_LZ))
+
+        y_new = e2_d + _log_add_inline(
+            pm_v + jnp.float32(trans[0, 2]), py_v + jnp.float32(trans[2, 2])
+        )
+        y_ok = valid & not_init & (j_idx > 0)
+        y_new = jnp.where(y_ok, y_new, jnp.float32(_LZ))
+
+        m_new = jnp.where(
+            (i_idx == 1) & (j_idx == 1), jnp.float32(init_log[0]) + m_d, m_new
+        )
+        x_new = jnp.where(
+            (i_idx == 1) & (j_idx == 0) & (1 <= len1b),
+            jnp.float32(init_log[1]) + ins1,
+            x_new,
+        )
+        y_new = jnp.where(
+            (i_idx == 0) & (j_idx == 1) & (1 <= len2b),
+            jnp.float32(init_log[2]) + e2_d,
+            y_new,
+        )
+        m_new = jnp.where(
+            valid & (i_idx > 0) & (j_idx > 0), m_new, jnp.float32(_LZ)
+        )
+
+        fm_ref[t, :, :] = m_new
+
+        # capture cells for ComputeTotalProbability: (len1, len2) all
+        # states, plus f_M(1,1), f_X(1,0), f_Y(0,1)
+        @pl.when(fire)
+        def _(m_new=m_new, x_new=x_new, y_new=y_new, j_idx=j_idx, d=d):
+            c = cap[:]
+            col = jax.lax.broadcasted_iota(jnp.int32, (Bch, 128), 1)
+            at_end = (i_idx == len1b) & (j_idx == len2b)
+            endr = at_end.any(axis=1)[:, None]
+            c = jnp.where((col == 0) & endr, lane_pick(m_new, at_end)[:, None], c)
+            c = jnp.where((col == 1) & endr, lane_pick(x_new, at_end)[:, None], c)
+            c = jnp.where((col == 2) & endr, lane_pick(y_new, at_end)[:, None], c)
+            m11 = (i_idx == 1) & (j_idx == 1)
+            x10 = (i_idx == 1) & (j_idx == 0)
+            y01 = (i_idx == 0) & (j_idx == 1)
+            c = jnp.where((col == 3) & (d == 2), lane_pick(m_new, m11)[:, None], c)
+            c = jnp.where((col == 4) & (d == 1), lane_pick(x_new, x10)[:, None], c)
+            c = jnp.where((col == 5) & (d == 1), lane_pick(y_new, y01)[:, None], c)
+            cap[:] = c
+
+        m2_v, x2_v, y2_v = pm_v, px_v, py_v
+        pm_v, px_v, py_v = m_new, x_new, y_new
+
+    fcap_ref[:] = cap[:]
+    pm0[:], px0[:], py0[:] = pm_v, px_v, py_v
+    mm[:], mx[:], my[:] = m2_v, x2_v, y2_v
 
 
 def _bwd_kernel(
-    md2_ref, e2n_ref, ins1n_ref, len1_ref, len2_ref,
+    dcap_ref, md_ref, e2_ref, ins1n_ref, len1_ref, len2_ref,
     bm_ref, bcap_ref,
-    nm0, nx0, ny0, nm2, nx2, ny2, cap,
-    *, ndiag, Bt, IP, trans, init_log,
+    nm0, nx0, ny0, nm2, nx2, ny2, cap, mcar, ecar,
+    *, KB, Bch, IP, trans, init_log,
 ):
     k = pl.program_id(1)
-    d = ndiag - 1 - k
+    nsteps = pl.num_programs(1)
+    d0 = (nsteps - 1 - k) * KB
 
     @pl.when(k == 0)
     def _():
         for ref in (nm0, nx0, ny0, nm2, nx2, ny2):
-            ref[:] = jnp.full((Bt, IP), jnp.float32(_LZ), jnp.float32)
-        cap[:] = jnp.zeros((Bt, 128), jnp.float32)
+            ref[:] = jnp.full((Bch, IP), jnp.float32(_LZ), jnp.float32)
+        cap[:] = jnp.zeros((Bch, 128), jnp.float32)
+        # carry emissions above the top block are never consumed (their
+        # consumers require d+2 <= len1+len2 <= ndiag-1); zeros are
+        # bitwise-neutral under the has_* masks
+        mcar[:] = jnp.zeros((2, Bch, IP), jnp.float32)
+        ecar[:] = jnp.zeros((1, Bch, IP), jnp.float32)
 
-    m_n2 = md2_ref[0, :, :]   # match diag d+2
-    e2_n = e2n_ref[0, :, :]   # ins2 diag d+1
     ins1_next = ins1n_ref[0, :, :]
-
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (Bt, IP), 1)
-    j_idx = d - i_idx
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (Bch, IP), 1)
     len1b = len1_ref[:, 0][:, None]
     len2b = len2_ref[:, 0][:, None]
-    valid = (i_idx >= 0) & (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
 
-    match_n = _shift_left_lanes(m_n2, jnp.float32(0.0))
-    ins2_n = e2_n
+    n0m_v, n0x_v, n0y_v = nm0[:], nx0[:], ny0[:]  # diag d+1
+    n2m_v = nm2[:]                                # diag d+2 (M only used)
 
-    has_m = (i_idx < len1b) & (j_idx < len2b) & valid
-    has_x = (i_idx < len1b) & valid
-    has_y = (j_idx < len2b) & valid
-
-    bm_11 = _shift_left_lanes(nm2[:], jnp.float32(_LZ))
-    bx_n = _shift_left_lanes(nx0[:], jnp.float32(_LZ))
-    by_n = ny0[:]
-
-    prob_xy = bm_11 + match_n
-
-    def lpe(x, y, cond):
-        return jnp.where(cond, _log_add_inline(x, y), x)
-
-    bM = jnp.full((Bt, IP), jnp.float32(_LZ), jnp.float32)
-    bX = jnp.full((Bt, IP), jnp.float32(_LZ), jnp.float32)
-    bY = jnp.full((Bt, IP), jnp.float32(_LZ), jnp.float32)
-    bM = lpe(bM, prob_xy + jnp.float32(trans[0, 0]), has_m)
-    bX = lpe(bX, prob_xy + jnp.float32(trans[1, 0]), has_m)
-    bY = lpe(bY, prob_xy + jnp.float32(trans[2, 0]), has_m)
-    bM = lpe(bM, bx_n + ins1_next + jnp.float32(trans[0, 1]), has_x)
-    bX = lpe(bX, bx_n + ins1_next + jnp.float32(trans[1, 1]), has_x)
-    bM = lpe(bM, by_n + ins2_n + jnp.float32(trans[0, 2]), has_y)
-    bY = lpe(bY, by_n + ins2_n + jnp.float32(trans[2, 2]), has_y)
-
-    at_end = (i_idx == len1b) & (j_idx == len2b)
-    bM = jnp.where(at_end, jnp.float32(init_log[0]), bM)
-    bX = jnp.where(at_end, jnp.float32(init_log[1]), bX)
-    bY = jnp.where(at_end, jnp.float32(init_log[2]), bY)
-
-    bM = jnp.where(valid, bM, jnp.float32(_LZ))
-    bX = jnp.where(valid, bX, jnp.float32(_LZ))
-    bY = jnp.where(valid, bY, jnp.float32(_LZ))
+    fire = d0 <= 2
 
     def lane_pick(vals, mask):
         return jnp.sum(jnp.where(mask, vals, 0.0), axis=1)
 
-    c = cap[:]
-    col = jax.lax.broadcasted_iota(jnp.int32, (Bt, 128), 1)
-    m11 = (i_idx == 1) & (j_idx == 1)
-    x10 = (i_idx == 1) & (j_idx == 0)
-    y01 = (i_idx == 0) & (j_idx == 1)
-    c = jnp.where((col == 3) & (d == 2), lane_pick(bM, m11)[:, None], c)
-    c = jnp.where((col == 4) & (d == 1), lane_pick(bX, x10)[:, None], c)
-    c = jnp.where((col == 5) & (d == 1), lane_pick(bY, y01)[:, None], c)
-    cap[:] = c
+    for t in range(KB - 1, -1, -1):
+        d = d0 + t
+        # emissions: match at d+2, ins2 at d+1 — cross-block reads come from
+        # the carry saved by the previous (higher-d) super-step
+        m_n2 = md_ref[t + 2, :, :] if t + 2 < KB else mcar[t + 2 - KB, :, :]
+        e2_n = e2_ref[t + 1, :, :] if t + 1 < KB else ecar[t + 1 - KB, :, :]
 
-    bm_ref[0, :, :] = bM
-    bcap_ref[:] = c
+        j_idx = d - i_idx
+        valid = (i_idx >= 0) & (i_idx <= len1b) & (j_idx >= 0) & (j_idx <= len2b)
 
-    nm2[:], nx2[:], ny2[:] = nm0[:], nx0[:], ny0[:]
-    nm0[:], nx0[:], ny0[:] = bM, bX, bY
+        match_n = _shift_left_lanes(m_n2, jnp.float32(0.0))
+        ins2_n = e2_n
+
+        has_m = (i_idx < len1b) & (j_idx < len2b) & valid
+        has_x = (i_idx < len1b) & valid
+        has_y = (j_idx < len2b) & valid
+
+        bm_11 = _shift_left_lanes(n2m_v, jnp.float32(_LZ))
+        bx_n = _shift_left_lanes(n0x_v, jnp.float32(_LZ))
+        by_n = n0y_v
+
+        prob_xy = bm_11 + match_n
+
+        def lpe(x, y, cond):
+            return jnp.where(cond, _log_add_inline(x, y), x)
+
+        bM = jnp.full((Bch, IP), jnp.float32(_LZ), jnp.float32)
+        bX = jnp.full((Bch, IP), jnp.float32(_LZ), jnp.float32)
+        bY = jnp.full((Bch, IP), jnp.float32(_LZ), jnp.float32)
+        bM = lpe(bM, prob_xy + jnp.float32(trans[0, 0]), has_m)
+        bX = lpe(bX, prob_xy + jnp.float32(trans[1, 0]), has_m)
+        bY = lpe(bY, prob_xy + jnp.float32(trans[2, 0]), has_m)
+        bM = lpe(bM, bx_n + ins1_next + jnp.float32(trans[0, 1]), has_x)
+        bX = lpe(bX, bx_n + ins1_next + jnp.float32(trans[1, 1]), has_x)
+        bM = lpe(bM, by_n + ins2_n + jnp.float32(trans[0, 2]), has_y)
+        bY = lpe(bY, by_n + ins2_n + jnp.float32(trans[2, 2]), has_y)
+
+        at_end = (i_idx == len1b) & (j_idx == len2b)
+        bM = jnp.where(at_end, jnp.float32(init_log[0]), bM)
+        bX = jnp.where(at_end, jnp.float32(init_log[1]), bX)
+        bY = jnp.where(at_end, jnp.float32(init_log[2]), bY)
+
+        bM = jnp.where(valid, bM, jnp.float32(_LZ))
+        bX = jnp.where(valid, bX, jnp.float32(_LZ))
+        bY = jnp.where(valid, bY, jnp.float32(_LZ))
+
+        bm_ref[t, :, :] = bM
+
+        @pl.when(fire)
+        def _(bM=bM, bX=bX, bY=bY, j_idx=j_idx, d=d):
+            c = cap[:]
+            col = jax.lax.broadcasted_iota(jnp.int32, (Bch, 128), 1)
+            m11 = (i_idx == 1) & (j_idx == 1)
+            x10 = (i_idx == 1) & (j_idx == 0)
+            y01 = (i_idx == 0) & (j_idx == 1)
+            c = jnp.where((col == 3) & (d == 2), lane_pick(bM, m11)[:, None], c)
+            c = jnp.where((col == 4) & (d == 1), lane_pick(bX, x10)[:, None], c)
+            c = jnp.where((col == 5) & (d == 1), lane_pick(bY, y01)[:, None], c)
+            cap[:] = c
+
+        n2m_v = n0m_v
+        n0m_v, n0x_v, n0y_v = bM, bX, bY
+
+    bcap_ref[:] = cap[:]
+    # carry this block's two lowest diagonals for the next (lower) block
+    mcar[0, :, :] = md_ref[0, :, :]
+    mcar[1, :, :] = md_ref[1, :, :]
+    ecar[0, :, :] = e2_ref[0, :, :]
+    nm0[:], nx0[:], ny0[:] = n0m_v, n0x_v, n0y_v
+    nm2[:] = n2m_v
 
 
 def _shear_to_diag(rows, imax, O):
@@ -264,7 +359,6 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     B = codes1.shape[0]
     imax = l1max + 1
     IP = _round_up(imax, 128)
-    Bt = _round_up(B, 8)
     ndiag = l1max + l2max + 1
 
     trans = np.asarray(t["trans"], np.float32)
@@ -272,11 +366,17 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     match_t = jnp.asarray(np.asarray(t["match"], np.float32))
     ins_t = jnp.asarray(np.asarray(t["ins"], np.float32))
 
+    KB, Bch = _plan_blocks(_round_up(B, 8), IP, ndiag)
+    Bt = _round_up(B, Bch)
+    nbch = Bt // Bch
+    NDP = _round_up(ndiag, KB)
+    nsteps = NDP // KB
+
     # ---- emissions, diagonal-major (gather-free shear) ---------------------
     # M_diag[d][b][i] = match(c1[b,i], c2[b,d-i]).  With r2ext = reversed
     # codes2 left-padded by PADL zeros, codes2[b, d-i] = r2ext[b, OFFD-d+i],
     # so M_diag[d] is the (OFFD-d)-th shear diagonal of
-    # M_rev[b, i, y] = match(c1[i], r2ext[y]).
+    # M_rev[b, i, y] = match(c1[i], r2ext[y]); a flip converts to direct-d.
     c1 = jnp.zeros((Bt, IP), jnp.int32).at[:B, :imax].set(codes1[:, :imax])
     oh1 = (c1[:, :imax, None] == jnp.arange(7)[None, None, :]).astype(jnp.float32)
     match_row = jnp.einsum("bic,cd->bid", oh1, match_t, precision="highest")
@@ -296,8 +396,12 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     )
 
     def to_diag_major(S):
+        # direct-d layout, padded/truncated to NDP diagonals
         S = jnp.pad(S, ((0, 0), (0, IP - imax), (0, 0)))
-        return jnp.transpose(S, (2, 0, 1))  # (O, Bt, IP)
+        D = jnp.flip(jnp.transpose(S, (2, 0, 1)), 0)  # (O, Bt, IP), axis0 = d
+        if NDP > O:
+            D = jnp.pad(D, ((0, NDP - O), (0, 0), (0, 0)))
+        return D[:NDP]
 
     MD = to_diag_major(S_m)
     ED = to_diag_major(S_e)
@@ -306,73 +410,76 @@ def forward_backward_posterior(codes1, len1, codes2, len2, *, l1max, l2max):
     ins1_next = _shift_left_lanes(ins1, jnp.float32(0.0))
     l1p = jnp.zeros((Bt, 1), jnp.int32).at[:B, 0].set(len1)
     l2p = jnp.zeros((Bt, 1), jnp.int32).at[:B, 0].set(len2)
+    # end-diagonal capture range over REAL rows (padding rows capture at
+    # d=0 inside the always-on d0<=2 block, exactly as before)
+    dsum = len1 + len2
+    dcap = jnp.stack([jnp.min(dsum), jnp.max(dsum)]).astype(jnp.int32)[None, :]
 
-    kw = dict(ndiag=ndiag, Bt=Bt, IP=IP, trans=trans, init_log=init_log)
+    kw = dict(KB=KB, Bch=Bch, IP=IP, trans=trans, init_log=init_log)
 
-    def scratch():
-        return [pltpu.VMEM((Bt, IP), jnp.float32) for _ in range(6)] + [
-            pltpu.VMEM((Bt, 128), jnp.float32)
-        ]
-
-    def diag_spec(offset_of_d):
-        return pl.BlockSpec(
-            (1, Bt, IP),
-            lambda b, d: (offset_of_d(d), b, 0),
-            memory_space=pltpu.VMEM,
+    def scratch(extra=()):
+        return (
+            [pltpu.VMEM((Bch, IP), jnp.float32) for _ in range(6)]
+            + [pltpu.VMEM((Bch, 128), jnp.float32)]
+            + list(extra)
         )
 
+    grid = (nbch, nsteps)
+    dblock = pl.BlockSpec(
+        (KB, Bch, IP), lambda b, s: (s, b, 0), memory_space=pltpu.VMEM
+    )
+    dblock_rev = pl.BlockSpec(
+        (KB, Bch, IP),
+        lambda b, k: (pl.num_programs(1) - 1 - k, b, 0),
+        memory_space=pltpu.VMEM,
+    )
     fixed_specs = [
-        pl.BlockSpec((1, Bt, IP), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Bt, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Bch, IP), lambda b, s: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bch, 1), lambda b, s: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bch, 1), lambda b, s: (b, 0), memory_space=pltpu.VMEM),
     ]
-    grid = (1, ndiag)
+    cap_spec = pl.BlockSpec(
+        (Bch, 128), lambda b, s: (b, 0), memory_space=pltpu.VMEM
+    )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     fm, fcap = pl.pallas_call(
         functools.partial(_fwd_kernel, **kw),
         grid=grid,
-        in_specs=[diag_spec(lambda d: OFFD - d), diag_spec(lambda d: OFFD - d)]
-        + fixed_specs,
-        out_specs=[
-            pl.BlockSpec((1, Bt, IP), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bt, 128), lambda b, d: (b, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[smem_spec, dblock, dblock] + fixed_specs,
+        out_specs=[dblock, cap_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((ndiag, Bt, IP), jnp.float32),
+            jax.ShapeDtypeStruct((NDP, Bt, IP), jnp.float32),
             jax.ShapeDtypeStruct((Bt, 128), jnp.float32),
         ],
         scratch_shapes=scratch(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(MD, ED, ins1[None, :, :], l1p, l2p)
+    )(dcap, MD, ED, ins1[None, :, :], l1p, l2p)
 
     bm, bcap = pl.pallas_call(
         functools.partial(_bwd_kernel, **kw),
         grid=grid,
-        in_specs=[
-            # match at diag d+2, ins2 at diag d+1, with d = ndiag-1-k
-            diag_spec(lambda k: OFFD - (ndiag + 1 - k)),
-            diag_spec(lambda k: OFFD - (ndiag - k)),
-        ]
-        + fixed_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (1, Bt, IP),
-                lambda b, k: (ndiag - 1 - k, b, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((Bt, 128), lambda b, k: (b, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[smem_spec, dblock_rev, dblock_rev] + fixed_specs,
+        out_specs=[dblock_rev, cap_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((ndiag, Bt, IP), jnp.float32),
+            jax.ShapeDtypeStruct((NDP, Bt, IP), jnp.float32),
             jax.ShapeDtypeStruct((Bt, 128), jnp.float32),
         ],
-        scratch_shapes=scratch(),
+        scratch_shapes=scratch(
+            [
+                pltpu.VMEM((2, Bch, IP), jnp.float32),  # match emission carry
+                pltpu.VMEM((1, Bch, IP), jnp.float32),  # ins2 emission carry
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(MD, ED, ins1_next[None, :, :], l1p, l2p)
+    )(dcap, MD, ED, ins1_next[None, :, :], l1p, l2p)
+
+    fm = fm[:ndiag]
+    bm = bm[:ndiag]
 
     # ---- totals (ProbabilisticModel.h:337-365) -----------------------------
     init_j = jnp.asarray(init_log)

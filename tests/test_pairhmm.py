@@ -77,3 +77,14 @@ def test_pallas_kernel_matches_scan_interpret():
             )
         )
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+    # the wide-batch dispatcher scans 48-row sub-batches inside one
+    # executable; exercise the scan plumbing with a tiny chunk size
+    with mock.patch.object(pl, "pallas_call", interp_call), \
+            mock.patch.object(pairhmm, "_PALLAS_CHUNK_B", 1):
+        pairhmm._chunked_pallas_fbp.clear_cache()
+        got_ch = np.asarray(
+            pairhmm._chunked_pallas_fbp(*args, l1max=l1max, l2max=l2max)
+        )
+        pairhmm._chunked_pallas_fbp.clear_cache()
+    np.testing.assert_allclose(got_ch, ref, atol=1e-5, rtol=1e-5)
