@@ -2,28 +2,48 @@
 
 Same computation as ops/nussinov.decode (the diagonal-wavefront lax.scan),
 but the whole DP runs inside one Mosaic kernel with the state resident in
-VMEM, removing the per-step HBM round-trips that dominate the lax path at
-L ~ 300-400 (measured 4.6 ms/decode there; the DD loop runs 3 decodes x 600
-iterations per merge, so this is the hottest kernel of the whole pipeline).
+VMEM, and — new in round 5 — **k-diagonal blocking**: each fori step
+processes KB=4 anti-diagonals.  With KB <= 4 every bifurcation split
+(i,k-1)+(k,j) of a diagonal in the block falls into exactly one of two
+cases, both cheap:
+
+- *stale*: both parts predate the block.  dp(i,k-1) comes from the DP block
+  read once per super-step and m(k,j) from the end-major M window read+rolled
+  once per super-step (un-computed M entries are NEG, so fresh-m splits are
+  excluded automatically and the mask is the unchanged reference band
+  i+1 <= k <= j-3; fresh-dp splits would need left span >= KB, impossible
+  at KB=4 since the band caps the left span at (t)+... <= D-1).
+- *fresh-m*: the right part m(k,j) was produced earlier in this block.  Its
+  left part then has span <= KB-2 <= 2, and dp of any span <= 2 is exactly
+  0.0 (no pair fits), so the candidate equals the in-block m diagonal
+  statically lane-shifted — a couple of (1, LP) vector ops.
+
+This amortizes the per-diagonal fixed costs that dominated the
+one-diagonal-per-step kernel (M-window roll, DP read/modify/write, column
+transposes) over KB diagonals.  Additionally the per-cell split argmax
+(k_star) is no longer computed for every cell on every diagonal (its two
+extra lane reductions were ~40% of the stale pass): codes only record THAT
+a bifurcation won (code 4), and the in-kernel traceback recomputes the
+reference tie-break (largest split k among maxima, src/nussinov.cpp:262-268)
+for the <= L/2 bifurcation cells it actually visits, from the same
+dp/M rows — the sums re-pair the identical f32 operands, so the recovered
+k is bit-for-bit the one the per-diagonal computation would have stored.
 
 Layout strategy (Mosaic cannot vector-load/store at dynamic *lane* offsets;
 dynamic *sublane* offsets are fine):
 
 - ``DP[i, c] = dp(i, c)`` — start-major absolute coordinates.  The
   bifurcation term dp(i, k-1) is a static one-lane shift of the full block.
-  The per-diagonal write dp(i, i+ld) hits lane i+ld of row i: the new
-  diagonal vector is placed with one dynamic lane roll (pltpu.roll) and
-  merged with an iota mask.
-- ``M[j, k] = m(k, j)`` — end-major pair values.  The bifurcation term
-  m(k, j=i+ld) for all (i, k) is the dynamic sublane window
-  ``M[ld:ld+L]``.  Mosaic requires dynamic sublane offsets to be provably
-  8-aligned, so the window is taken at ``a = 8*(ld//8)`` with height L+8
-  and rotated down by the residue ``r = ld - a`` via a dynamic sublane
-  roll; the write m(i, i+ld) lands on the r-shifted diagonal of the
-  aligned window.
+  The per-diagonal writes dp(i, i+ld) are batched: one read, KB dynamic
+  lane rolls + masked merges, one write per super-step.
+- ``M[j, k] = m(k, j)`` — end-major pair values.  The window covering rows
+  D..D+KB+L is taken 8-aligned and rotated down by the residue via one
+  dynamic sublane roll per super-step (Mosaic requires dynamic sublane
+  offsets to be provably 8-aligned); per-diagonal views are static sublane
+  slices of the rotated window.  Writes are batched like DP.
 - Tie-breaking replicates ops/nussinov.py exactly: candidate priority
-  down(i+1,j) > left(i,j-1) > pair > bifurcation with smallest span r >= 3
-  (== largest split k), first strict max wins.
+  down(i+1,j) > left(i,j-1) > pair > bifurcation with the largest split k,
+  first strict max wins.
 
 The traceback ALSO runs inside the kernel (same stack algorithm as
 ops/nussinov._traceback, stack in SMEM, ss as a lane vector): as an XLA
@@ -36,6 +56,7 @@ In-kernel the pops are hardware loop iterations.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,104 +74,128 @@ def _round_up(n, m):
 
 
 def _kernel(l_ref, sml_ref, score_ref, codes_ref, ss_ref, dp_ref, m_ref,
-            vp_ref, vp2_ref, stack_ref, *, L, LP):
+            vp_ref, vp2_ref, stack_ref, *, L, LP, KB, NSUP, H2):
     f = jnp.float32
     neg = f(NEG)
-    # dynamic-sublane-roll window height; Mosaic's dynamic_rotate needs the
-    # rotated sublane dim to be a multiple of the f32 vreg sublane count (8)
-    H = _round_up(L + 8, 8)
 
-    codes_ref[:] = jnp.zeros((L, LP), jnp.int32)
+    codes_ref[:] = jnp.zeros((NSUP * KB, LP), jnp.int32)
     dp_ref[:] = jnp.zeros((L, LP), f)
-    m_ref[:] = jnp.full((_round_up(L, 8) + H, LP), neg, f)
+    m_ref[:] = jnp.full((_round_up(L, 8) + H2, LP), neg, f)
     vp_ref[:] = jnp.zeros((1, LP), f)
     vp2_ref[:] = jnp.zeros((1, LP), f)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LP), 1)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (L, LP), 0)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (L, LP), 1)
-    row_i8 = jax.lax.broadcasted_iota(jnp.int32, (H, LP), 0)
-    col_k8 = jax.lax.broadcasted_iota(jnp.int32, (H, LP), 1)
+    row_i8 = jax.lax.broadcasted_iota(jnp.int32, (H2, LP), 0)
+    col_k8 = jax.lax.broadcasted_iota(jnp.int32, (H2, LP), 1)
 
-    def shift_left(x):
-        # value at lane i becomes x[i+1]; rightmost lane 0
-        return jnp.concatenate([x[:, 1:], jnp.zeros((1, 1), f)], axis=1)
+    def shift_left(x, fill=0.0, n=1):
+        # value at lane i becomes x[i+n]; rightmost n lanes get fill
+        return jnp.concatenate(
+            [x[:, n:], jnp.full((1, n), fill, x.dtype)], axis=1
+        )
 
-    def body(ld, _):
-        prev = vp_ref[:]    # dp of diagonal ld-1 (lane i = dp(i, i+ld-1))
-        prev2 = vp2_ref[:]  # dp of diagonal ld-2
+    def body(s, _):
+        D = 1 + s * KB
+        a = (D // 8) * 8
+        r = D - a
 
-        t1 = shift_left(prev)          # dp(i+1, j)
-        t2 = prev                      # dp(i, j-1)
-        dp_in = shift_left(prev2)      # dp(i+1, j-1)
-        s_ij = sml_ref[pl.ds(ld, 1), :]
-        valid_i = (lane + ld) <= (L - 1)
-        pair_ok = (s_ij > 0.0) & (ld >= 3) & valid_i
-        m_new = jnp.where(pair_ok, dp_in + s_ij, neg)
-
-        # bifurcation over split k: dp(i, k-1) + m(k, j), i+1 <= k <= j-3
-        # 8-aligned window + dynamic sublane roll (Mosaic alignment rule)
-        a = (ld // 8) * 8
-        r = ld - a
-        mbig = m_ref[pl.ds(a, H), :]                        # rows a .. a+H-1
-        # mwin[i, k] = M[ld+i, k] = mbig[r+i, k]
-        mwin = pltpu.roll(mbig, H - r, 0)[:L]               # (L, LP): [i, k]
+        # ---- shared per-super-step reads ---------------------------------
+        mbig = m_ref[pl.ds(a, H2), :]              # rows a .. a+H2-1
+        # mwinbase[q, k] = M[D+q, k] (8-aligned window + dynamic roll)
+        mwinbase = pltpu.roll(mbig, H2 - r, 0)
         dp_all = dp_ref[:]
         dp_shift = jnp.concatenate(
             [jnp.zeros((L, 1), f), dp_all[:, :-1]], axis=1
-        )                                                    # [i, k] = dp(i, k-1)
-        bmask = (col_k >= row_i + 1) & (col_k <= row_i + (ld - 3))
-        cand_b = jnp.where(bmask, dp_shift + mwin, neg)
-        bif_v = jnp.max(cand_b, axis=1, keepdims=True)       # (L, 1)
-        # smallest span r == largest k wins ties
-        k_star = jnp.max(
-            jnp.where((cand_b == bif_v) & bmask, col_k, -1), axis=1, keepdims=True
-        )
-        # back to lane-i vectors: bif_v/k_star are (L, 1) columns; transpose
-        bif_vr = jax.lax.transpose(bif_v, (1, 0))            # (1, L)
-        k_starr = jax.lax.transpose(k_star, (1, 0))
-        pad = LP - L
-        if pad:
-            bif_vr = jnp.concatenate([bif_vr, jnp.full((1, pad), neg, f)], axis=1)
-            k_starr = jnp.concatenate(
-                [k_starr, jnp.full((1, pad), -1, jnp.int32)], axis=1
+        )                                          # [i, k] = dp(i, k-1)
+
+        # ---- stale bifurcation maxima, all KB diagonals -------------------
+        stale_cols = []
+        for t in range(KB):
+            ld = D + t
+            # mwin_t[i, k] = M[ld+i, k] = m(k, i+ld); entries not yet
+            # computed (spans >= D) are NEG, excluding fresh-m splits
+            mwin_t = jax.lax.slice_in_dim(mwinbase, t, t + L, axis=0)
+            bmask = (col_k >= row_i + 1) & (col_k <= row_i + (ld - 3))
+            cand_b = jnp.where(bmask, dp_shift + mwin_t, neg)
+            stale_cols.append(jnp.max(cand_b, axis=1, keepdims=True))
+        SV = jnp.concatenate(stale_cols, axis=1)   # (L, KB)
+        SVr = jax.lax.transpose(SV, (1, 0))        # (KB, L)
+        if LP > L:
+            SVr = jnp.concatenate(
+                [SVr, jnp.full((KB, LP - L), neg, f)], axis=1
             )
 
-        gate12 = ld >= 2
-        t1g = jnp.where(gate12, t1, neg)
-        t2g = jnp.where(gate12, t2, neg)
-        v = jnp.maximum(jnp.maximum(t1g, t2g), jnp.maximum(m_new, bif_vr))
-        has_any = v > neg
-        vout = jnp.where(has_any & valid_i, v, 0.0)
-        # candidate priority: t1, t2, pair, bifurcation (first max wins)
-        code = jnp.where(
-            t1g == v, 1,
-            jnp.where(
-                t2g == v, 2,
-                jnp.where(m_new == v, 3, (k_starr - lane) + 3),
-            ),
-        )
-        code = jnp.where(valid_i & has_any, code, 0)
-        codes_ref[pl.ds(ld - 1, 1), :] = code
+        # ---- sequential recurrence over the block's diagonals -------------
+        prev = vp_ref[:]    # dp of diagonal D-1+t (lane i = dp(i, i+span))
+        prev2 = vp2_ref[:]  # dp of diagonal D-2+t
+        mlist = []
+        vlist = []
+        for t in range(KB):
+            ld = D + t
+            t1 = shift_left(prev)          # dp(i+1, j)
+            t2 = prev                      # dp(i, j-1)
+            dp_in = shift_left(prev2)      # dp(i+1, j-1)
+            s_ij = sml_ref[pl.ds(ld, 1), :]
+            valid_i = (lane + ld) <= (L - 1)
+            pair_ok = (s_ij > 0.0) & (ld >= 3) & valid_i
+            m_new = jnp.where(pair_ok, dp_in + s_ij, neg)
 
-        # state updates
-        # M[j=i+ld, k=i] = m_new[i]: the r-shifted diagonal of the aligned
-        # window (window row r+i, lane i)
-        m_bcast8 = jnp.broadcast_to(m_new, (H, LP))
-        m_ref[pl.ds(a, H), :] = jnp.where(
-            (row_i8 - r) == col_k8, m_bcast8, mbig
-        )
-        # DP[i, i+ld] = vout[i]: roll the diagonal vector so lane c holds
-        # vout[c-ld], then merge on the (c - r == ld) mask
-        v_roll = pltpu.roll(vout, ld, 1)
-        dmask = (col_k - row_i) == ld
-        dp_ref[:] = jnp.where(dmask, jnp.broadcast_to(v_roll, (L, LP)), dp_ref[:])
+            bif = SVr[t : t + 1, :]
+            # fresh-m splits: m from block step tp, left span t-1-tp <= 2
+            # whose dp is exactly 0.0, so the candidate is the in-block m
+            # diagonal shifted left by t-tp lanes: lane i then holds
+            # m(k, i+ld) for the split k = i + (t-tp).  (mlist entries with
+            # span < 3 are all NEG, so early blocks need no special-casing.)
+            for tp in range(t):
+                bif = jnp.maximum(bif, shift_left(mlist[tp], neg, n=t - tp))
 
-        vp2_ref[:] = prev
-        vp_ref[:] = vout
+            gate12 = ld >= 2
+            t1g = jnp.where(gate12, t1, neg)
+            t2g = jnp.where(gate12, t2, neg)
+            v = jnp.maximum(jnp.maximum(t1g, t2g), jnp.maximum(m_new, bif))
+            has_any = v > neg
+            vout = jnp.where(has_any & valid_i, v, 0.0)
+            # candidate priority: t1, t2, pair, bifurcation (first max wins);
+            # 4 = "some bifurcation" — the split is recovered at traceback
+            code = jnp.where(
+                t1g == v, 1,
+                jnp.where(t2g == v, 2, jnp.where(m_new == v, 3, 4)),
+            )
+            code = jnp.where(valid_i & has_any, code, 0)
+            codes_ref[pl.ds(ld - 1, 1), :] = code
+
+            mlist.append(m_new)
+            vlist.append(vout)
+            prev2 = prev
+            prev = vout
+
+        # ---- batched state write-backs ------------------------------------
+        # M[j = k + ld_t, k] = m_new_t[k]: window row r+t+k, lane k —
+        # one read (mbig above), KB masked merges, one write.
+        mnew_win = mbig
+        for t in range(KB):
+            mask = (row_i8 - (r + t)) == col_k8
+            mnew_win = jnp.where(
+                mask, jnp.broadcast_to(mlist[t], (H2, LP)), mnew_win
+            )
+        m_ref[pl.ds(a, H2), :] = mnew_win
+
+        dp_new = dp_all
+        for t in range(KB):
+            v_roll = pltpu.roll(vlist[t], D + t, 1)
+            dmask = (col_k - row_i) == (D + t)
+            dp_new = jnp.where(
+                dmask, jnp.broadcast_to(v_roll, (L, LP)), dp_new
+            )
+        dp_ref[:] = dp_new
+
+        vp_ref[:] = prev
+        vp2_ref[:] = prev2
         return 0
 
-    jax.lax.fori_loop(1, L, body, 0)
+    jax.lax.fori_loop(0, NSUP, body, 0)
 
     lend = l_ref[0, 0]
     row0 = dp_ref[pl.ds(0, 1), :]
@@ -171,21 +216,35 @@ def _kernel(l_ref, sml_ref, score_ref, codes_ref, ss_ref, dp_ref, m_ref,
         c = jnp.sum(jnp.where(lane == i, crow, 0))
         c = jnp.where((dd >= 1) & (sp > 0), c, 0)
 
-        k = i + c - 3
-        # pair record: code 3 marks (i, j); code >= 4 marks (k, j)
-        tgt = jnp.where(c >= 4, k, i)
-        mark = (c == 3) | (c >= 4)
+        # code 4: recover the winning split k — the largest k in [i+1, j-3]
+        # with dp(i,k-1) + m(k,j) == dp(i,j) (reference candidate order:
+        # strictly-greater replacement scanning k downward == largest
+        # maximizer; sums re-pair the same f32 operands as the DP pass)
+        dprow = dp_ref[pl.ds(jnp.maximum(i, 0), 1), :]
+        v_cell = jnp.sum(jnp.where(lane == j, dprow, 0.0))
+        mrow = m_ref[pl.ds(jnp.maximum(j, 0), 1), :]
+        dpsh = jnp.concatenate(
+            [jnp.zeros((1, 1), jnp.float32), dprow[:, :-1]], axis=1
+        )
+        cand = dpsh + mrow
+        kmask = (lane >= i + 1) & (lane <= j - 3)
+        k = jnp.max(jnp.where(kmask & (cand == v_cell), lane, -1))
+        k = jnp.where(c == 4, k, 0)
+
+        # pair record: code 3 marks (i, j); code 4 marks (k, j)
+        tgt = jnp.where(c == 4, k, i)
+        mark = (c == 3) | (c == 4)
         ss_ref[:] = jnp.where((lane == tgt) & mark, j, ss_ref[:])
 
         # pushes: c==1 -> (i+1, j); c==2 -> (i, j-1); c==3 -> (i+1, j-1);
-        # c>=4 -> (i, k-1) then (k+1, j-1)
+        # c==4 -> (i, k-1) then (k+1, j-1)
         a1 = jnp.where(c == 1, i + 1,
                        jnp.where(c == 2, i,
                                  jnp.where(c == 3, i + 1, i)))
         b1 = jnp.where(c == 1, j,
                        jnp.where(c == 2, j - 1,
                                  jnp.where(c == 3, j - 1, k - 1)))
-        npush = jnp.where(c == 0, 0, jnp.where(c >= 4, 2, 1))
+        npush = jnp.where(c == 0, 0, jnp.where(c == 4, 2, 1))
         sp_new = jnp.where(sp > 0, sp - 1 + npush, sp)
 
         @pl.when((sp > 0) & (npush >= 1))
@@ -207,17 +266,26 @@ def _kernel(l_ref, sml_ref, score_ref, codes_ref, ss_ref, dp_ref, m_ref,
 def _decode_pallas_ldiag(sm_l, l, *, L, interpret=False):
     """sm_l: (L, L) diagonal-major scores (row ld, lane i = score(i, i+ld)).
 
-    Returns (score, codes) with codes in the same layout as
-    nussinov._decode_ldiag_impl's scan output rows (codes[ld-1, i]).
+    Returns (score, codes, ss); codes rows are indexed ld-1 like
+    nussinov._decode_ldiag_impl's scan output (values: 1=down, 2=left,
+    3=pair, 4=bifurcation, 0=none).
     """
+    KB = int(os.environ.get("DAFS_TPU_NUSSINOV_KB", "4") or 4)
+    # KB > 4 would create fresh-dp bifurcation splits (left span >= D inside
+    # the block), which this kernel does not implement — see module docstring
+    if not 1 <= KB <= 4:
+        raise ValueError(f"DAFS_TPU_NUSSINOV_KB must be in [1, 4], got {KB}")
     LP = _round_up(L, 128)
-    sml = jnp.zeros((L, LP), jnp.float32).at[:, :L].set(sm_l)
+    NSUP = -(-(L - 1) // KB)
+    LR = NSUP * KB + 1
+    H2 = _round_up(L + KB + 8, 8)
+    sml = jnp.zeros((LR, LP), jnp.float32).at[:L, :L].set(sm_l)
     l_arr = jnp.asarray(l, jnp.int32).reshape(1, 1)
     score, codes, ss = pl.pallas_call(
-        functools.partial(_kernel, L=L, LP=LP),
+        functools.partial(_kernel, L=L, LP=LP, KB=KB, NSUP=NSUP, H2=H2),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((L, LP), jnp.int32),
+            jax.ShapeDtypeStruct((NSUP * KB, LP), jnp.int32),
             jax.ShapeDtypeStruct((1, LP), jnp.int32),
         ),
         in_specs=[
@@ -231,8 +299,8 @@ def _decode_pallas_ldiag(sm_l, l, *, L, interpret=False):
         ),
         scratch_shapes=[
             pltpu.VMEM((L, LP), jnp.float32),          # DP (start-major)
-            # M (end-major): 8-aligned roll windows of height H
-            pltpu.VMEM((_round_up(L, 8) + _round_up(L + 8, 8), LP), jnp.float32),
+            # M (end-major): 8-aligned roll windows of height H2
+            pltpu.VMEM((_round_up(L, 8) + H2, LP), jnp.float32),
             pltpu.VMEM((1, LP), jnp.float32),      # dp diag ld-1
             pltpu.VMEM((1, LP), jnp.float32),      # dp diag ld-2
             pltpu.SMEM((2 * L + 4, 2), jnp.int32),  # traceback stack
