@@ -385,12 +385,31 @@ def _contrafold_inside_outside(
     return post, Z, FC, FCo, F5, F5o
 
 
-def bp_posterior(seq: str, th: float, constraint: str | None = None) -> np.ndarray:
-    """(L, L) upper-triangular pair posterior, entries kept > th
-    (src/fold.cpp:174-207 adapter semantics)."""
-    t = CF.tables()
-    n = len(seq)
-    L = _round_up(n, 32)
+_DEV_TABLES = None
+
+
+def _dev_tables():
+    """Device-resident parameter tables, uploaded once per process (the
+    per-call jnp.asarray uploads cost ~0.5 s/call over the axon relay)."""
+    global _DEV_TABLES
+    if _DEV_TABLES is None:
+        import jax.numpy as jnp
+
+        t = CF.tables()
+        _DEV_TABLES = (
+            jnp.asarray(t["base_pair"]), jnp.asarray(t["terminal_mismatch"]),
+            jnp.asarray(t["helix_stacking"]), jnp.asarray(t["helix_closing"]),
+            jnp.asarray(t["dangle_left"]), jnp.asarray(t["dangle_right"]),
+            jnp.asarray(t["bulge_0x1"]), jnp.asarray(t["internal_1x1"]),
+            jnp.asarray(t["hairpin_len"]), jnp.asarray(t["single"]),
+            t["multi_base"], t["multi_paired"], t["multi_unpaired"],
+            t["external_paired"], t["external_unpaired"],
+        )
+    return _DEV_TABLES
+
+
+def _prep_one(seq: str, n: int, L: int, constraint: str | None):
+    """Host prep of one sequence's codes and constraint masks."""
     s = np.full(L + 2, 4, dtype=np.int32)
     s[1 : n + 1] = CF.encode(seq)
 
@@ -423,29 +442,57 @@ def bp_posterior(seq: str, th: float, constraint: str | None = None) -> np.ndarr
                 allow_pair[a, pos] = keep
                 allow_unpaired_pos[a] = False
                 allow_unpaired_pos[pos] = False
+    return s, allow_pair, allow_unpaired_pos
 
-    import jax.numpy as jnp  # local to keep module import light
 
-    post, Z, _FC, _FCo, _F5, _F5o = _contrafold_inside_outside(
-        jnp.asarray(s), jnp.asarray(allow_pair), jnp.asarray(allow_unpaired_pos),
-        jnp.int32(n),
-        jnp.asarray(t["base_pair"]), jnp.asarray(t["terminal_mismatch"]),
-        jnp.asarray(t["helix_stacking"]), jnp.asarray(t["helix_closing"]),
-        jnp.asarray(t["dangle_left"]), jnp.asarray(t["dangle_right"]),
-        jnp.asarray(t["bulge_0x1"]), jnp.asarray(t["internal_1x1"]),
-        jnp.asarray(t["hairpin_len"]), jnp.asarray(t["single"]),
-        t["multi_base"], t["multi_paired"], t["multi_unpaired"],
-        t["external_paired"], t["external_unpaired"],
-        L=L,
-    )
-    pm = np.asarray(post)[1 : n + 1, 1 : n + 1].astype(np.float32)
-    pm[pm <= th] = 0.0
-    return pm
+@aot.persistent_jit(static_argnames=("L",))
+def _cf_batch(sB, apB, auB, nB, *tables, L):
+    """vmapped inside/outside over a bucket-padded batch of sequences —
+    one device dispatch per length bucket instead of one per sequence."""
+    import jax
+
+    def one(s, ap, au, n):
+        post, Z, *_ = _contrafold_inside_outside(s, ap, au, n, *tables, L=L)
+        return post
+
+    return jax.vmap(one)(sB, apB, auB, nB)
+
+
+def bp_posterior(seq: str, th: float, constraint: str | None = None) -> np.ndarray:
+    """(L, L) upper-triangular pair posterior, entries kept > th
+    (src/fold.cpp:174-207 adapter semantics)."""
+    return batch_bp_posteriors([seq], th, constraints=[constraint])[0]
 
 
 def batch_bp_posteriors(seqs, th, constraints=None):
-    out = []
+    """Batched posteriors: sequences grouped by 32-length bucket, each
+    bucket one vmapped device dispatch (src/fold.cpp:174-207 adapter,
+    applied per sequence)."""
+    import jax.numpy as jnp
+
+    if not seqs:
+        return []
+    tables = _dev_tables()
+    out: list = [None] * len(seqs)
+    buckets: dict[int, list[int]] = {}
     for i, s in enumerate(seqs):
-        c = constraints[i] if constraints is not None else None
-        out.append(bp_posterior(s, th, constraint=c))
+        buckets.setdefault(_round_up(len(s), 32), []).append(i)
+    for L, idxs in buckets.items():
+        preps = [
+            _prep_one(
+                seqs[i], len(seqs[i]), L,
+                constraints[i] if constraints is not None else None,
+            )
+            for i in idxs
+        ]
+        sB = jnp.asarray(np.stack([p[0] for p in preps]))
+        apB = jnp.asarray(np.stack([p[1] for p in preps]))
+        auB = jnp.asarray(np.stack([p[2] for p in preps]))
+        nB = jnp.asarray(np.array([len(seqs[i]) for i in idxs], np.int32))
+        posts = np.asarray(_cf_batch(sB, apB, auB, nB, *tables, L=L))
+        for b, i in enumerate(idxs):
+            n = len(seqs[i])
+            pm = posts[b, 1 : n + 1, 1 : n + 1].astype(np.float32)
+            pm[pm <= th] = 0.0
+            out[i] = pm
     return out
