@@ -63,9 +63,31 @@ def _contrafold_inside_outside(
     *, L,
 ):
     """S: (L+2,) codes 1-based (index 0 and >n are 4); allow_pair (L+2, L+2);
-    allow_unpaired_pos (L+2,). Returns (posterior (L+2, L+2), Z)."""
+    allow_unpaired_pos (L+2,). Returns (posterior (L+2, L+2), Z, FC, FCo,
+    F5, F5o).
+
+    Gather-free formulation (round 5): in the round-1 form, every
+    data-dependent gather inside the wavefront scans (4-D table lookups,
+    the (i, l1, l2) FC/plane gathers of the bounded single-branch stencil,
+    diagonal scatters) serialized element-by-element on TPU — ~0.4 s per
+    L=96 sequence.  Now every pair-indexed score term is precomputed ONCE
+    as an (L+2, L+2) plane and sheared diagonal-major (D[e, a] =
+    plane[a, a+e]); the scans touch them only through dynamic row/window
+    slices plus static lane shifts.  The DP tables carry diagonal-major
+    shadows (FCD/FMD/FM1D/...) for the banded reads; row-major copies are
+    kept only where a full-matrix contraction needs them (the FM2
+    multiloop split, read via transpose + one dynamic slice per step).
+    Diagonal writes are where-masked merges.  Values at cells outside the
+    written masks (fc_ok/fm1_ok/cell_ok) may differ from the round-1
+    clip-indexed form; every consumer masks them before use.  Log-sum
+    reductions are re-associated (exact LSE either way; the model already
+    deviates from the reference's piecewise-cubic Fast_LogPlusEquals by
+    ~1e-5, see module docstring).
+    """
     f = jnp.float32
-    idx = jnp.arange(L + 2)
+    A = L + 2
+    idx = jnp.arange(A)
+    lane = idx
 
     # segment-unpaired gates: blocked count in [a, b]
     logv = jnp.where((idx >= 1) & (idx <= n) & allow_unpaired_pos, 1.0, 0.0)
@@ -75,312 +97,401 @@ def _contrafold_inside_outside(
     seg_ok = (seg_len <= 0) | (seg_blocked == 0)  # [a..b] all unpaired-allowed
 
     Sc = S
-    ii_all = jnp.arange(L + 2)
+    cl = lambda x: jnp.clip(x, 0, A - 1)  # noqa: E731
+    a_ = idx[:, None]
+    b_ = idx[None, :]
+    sa, sb = Sc[a_], Sc[b_]
+    sa1, sb1 = Sc[cl(a_ + 1)], Sc[cl(b_ + 1)]
+    sb2 = Sc[cl(b_ + 2)]
+    sam1 = Sc[cl(a_ - 1)]
 
-    def JB(i, j):
-        # hc[s_i][s_{j+1}] + tm[s_i][s_{j+1}][s_{i+1}][s_j]
-        si = Sc[jnp.clip(i, 0, L + 1)]
-        sj1 = Sc[jnp.clip(j + 1, 0, L + 1)]
-        si1 = Sc[jnp.clip(i + 1, 0, L + 1)]
-        sj = Sc[jnp.clip(j, 0, L + 1)]
-        return t_hc[si, sj1] + t_tm[si, sj1, si1, sj]
+    # ---- pair-indexed score planes (one-time, (A, A)) ----------------------
+    JBP = t_hc[sa, sb1] + t_tm[sa, sb1, sa1, sb]          # JB(a, b)
+    JAP = (
+        t_hc[sa, sb1]
+        + jnp.where(a_ < n, t_dl[sa, sb1, sa1], 0.0)
+        + jnp.where(b_ > 0, t_dr[sa, sb1, sb], 0.0)
+    )                                                      # JA(a, b)
+    BPP = t_bp[sa, sb]                                     # BP(a, b)
+    BPX = t_bp[sa, sb1]                                    # t_bp[S[a], S[b+1]]
+    HSP = t_hs[sa, sb1, sa1, sb]
+    STK = t_bp[sa1, sb] + HSP                              # inside stack at (a, b)
+    # single-branch inner side at split (p, q): t_bp[S[p+1],S[q]] + jb_in(q,p)
+    INB = t_bp[sa1, sb] + JBP.T
+    JIN = t_hc[sb1, sa] + t_tm[sb1, sa, sb2, sam1]         # outside jb_in at (i, j)
+    P11 = t_i1x1[sa, sb]
+    M11i = t_i1x1[sa1, sb]                                 # t_i1x1[S[a+1], S[b]]
+    vb0x1 = t_b0x1[Sc]                                     # (A,)
+    vb0x1s = jnp.concatenate([vb0x1[1:], vb0x1[-1:]])      # t_b0x1[S[a+1]]
+    vb0x1r = jnp.concatenate([vb0x1[:1], vb0x1[:-1]])      # t_b0x1[S[a-1]]
 
-    def JA(i, j):
-        si = Sc[jnp.clip(i, 0, L + 1)]
-        sj1 = Sc[jnp.clip(j + 1, 0, L + 1)]
-        si1 = Sc[jnp.clip(i + 1, 0, L + 1)]
-        sj = Sc[jnp.clip(j, 0, L + 1)]
-        v = t_hc[si, sj1]
-        v = v + jnp.where(i < n, t_dl[si, sj1, si1], 0.0)
-        v = v + jnp.where(j > 0, t_dr[si, sj1, sj], 0.0)
-        return v
+    def rowshift(M):
+        return jnp.concatenate([M[1:], M[-1:]], axis=0)    # M[a+1, b]
 
-    def BP(a, b):
-        return t_bp[Sc[jnp.clip(a, 0, L + 1)], Sc[jnp.clip(b, 0, L + 1)]]
+    def diag(M):
+        """D[e, a] = M[a, a+e] for e in [0, A); zero/False beyond column A
+        (consumers mask those cells)."""
+        W = 2 * A
+        Mp = jnp.concatenate(
+            [M, jnp.zeros((A, W - M.shape[1]), M.dtype)], axis=1
+        )
+        flat = jnp.concatenate([Mp.reshape(-1), jnp.zeros((A,), M.dtype)])
+        sh = flat.reshape(A, W + 1)  # sh[a, x] = Mp[a, a + x]
+        return sh[:, :A].T
 
-    uu = jnp.arange(MAXS + 1)
+    JBD = diag(JBP)
+    JAD = diag(JAP)
+    JARD = diag(JAP.T)          # JAP[a+e, a]
+    BP1D = diag(rowshift(BPP))  # BPP[a+1, a+e]
+    BPXD = diag(BPX)            # t_bp[S[a], S[a+e+1]]
+    STKD = diag(STK)
+    INBD = diag(INB)
+    JIND = diag(JIN)
+    HSPD = diag(HSP)
+    P11D = diag(P11)
+    M11D = diag(M11i)
+    APD = diag(allow_pair)                  # ap[a, a+e]
+    AP1D = diag(allow_pair[:, 1:])          # ap[a, a+e+1]
+    AP2D = diag(rowshift(allow_pair))       # ap[a+1, a+e]
+    SEGHD = diag(rowshift(seg_ok))          # seg_ok[a+1, a+e]
+
+    # static per-l1 / per-l2 segment gates of the single-branch stencil
+    ll = jnp.arange(MAXS + 1)[:, None]
+    SEGA = seg_ok[cl(a_.T + 1), cl(a_.T + ll)]   # [l1, i] = seg[i+1, i+l1]
+    SEGB = seg_ok[cl(b_ - ll + 1), jnp.broadcast_to(b_, (MAXS + 1, A))]
+    # SEGB[l2, b] = seg_ok[b-l2+1, b]; used at b = j = i + d (dynamic shift)
+    SEGC = seg_ok[cl(a_.T - ll), cl(a_.T - 1)]   # [l1, i] = seg[i-l1, i-1]
+    SEGD = seg_ok[cl(b_ + 1), cl(b_ + ll)]       # [l2, b] = seg[b+1, b+l2]
+
+    NW_ = 2 * MAXS + 1  # 61 window rows cover u = l1 + l2 in [0, 60]
+    # pad depths chosen so a window sliced at start d maps row w to the
+    # SAME split size u across all three planes (see per-plane e(u) above):
+    # FC reads e = d-2-u  -> pad 62;  INB e = d-u -> pad 60;  AP e = d-1-u
+    # -> pad 61; all with u = 60 - w.
+    INBDp = jnp.concatenate([jnp.zeros((60, A), f), INBD], axis=0)
+    APDp = jnp.concatenate(
+        [jnp.zeros((61, A), bool), APD], axis=0
+    )
+
+    def dshl(x, k, fill):
+        """Dynamic left lane shift: out[..., i] = x[..., i+k], fill beyond."""
+        pad = jnp.full(x.shape[:-1] + (A,), fill, x.dtype)
+        xp = jnp.concatenate([x, pad], axis=-1)
+        start = (0,) * (x.ndim - 1) + (k,)
+        return jax.lax.dynamic_slice(xp, start, x.shape)
+
+    def shl(x, k, fill):
+        if k == 0:
+            return x
+        return jnp.concatenate(
+            [x[..., k:], jnp.full(x.shape[:-1] + (k,), fill, x.dtype)],
+            axis=-1,
+        )
+
+    def shr(x, k, fill):
+        if k == 0:
+            return x
+        return jnp.concatenate(
+            [jnp.full(x.shape[:-1] + (k,), fill, x.dtype), x[..., :-k]],
+            axis=-1,
+        )
+
+    def row(D, e):
+        return jax.lax.dynamic_slice(D, (jnp.maximum(e, 0), 0), (1, A))[0]
+
+    # static (31, 31, 1) grids of the single-branch stencil
+    l1a = jnp.arange(MAXS + 1)[:, None, None]
+    l2a = jnp.arange(MAXS + 1)[None, :, None]
+    u_a = l1a + l2a
+    c00 = (l1a == 0) & (l2a == 0)
+    m01 = (l1a == 0) & (l2a == 1)
+    m10 = (l1a == 1) & (l2a == 0)
+    m11 = (l1a == 1) & (l2a == 1)
 
     # ---------------- inside ------------------------------------------------
     def inside_step(carry, d):
-        FC, FM, FM1 = carry
-        i_vec = ii_all
-        j_vec = i_vec + d
-        jc = jnp.clip(j_vec, 0, L + 1)
-        # FC cell (i,j) represents pair (i, j+1)
-        fc_ok = (i_vec >= 1) & (j_vec <= n - 1) & allow_pair[i_vec, jnp.clip(j_vec + 1, 0, L + 1)]
+        FM, FM1, FCD, FMD, FM1D = carry
+        j_lane = lane + d
+        dmask = (b_ - a_) == d
+        fc_ok = (lane >= 1) & (j_lane <= n - 1) & row(AP1D, d)
+        FCDpad = jnp.concatenate(
+            [jnp.full((62, A), NEG, f), FCD], axis=0
+        )
 
-        # FM2
-        kk = ii_all[None, :]
-        fm1_l = FM1[i_vec[:, None], jnp.clip(kk, 0, L + 1)]
-        fm_r = FM[kk, jc[:, None]]
-        kmask = (kk > i_vec[:, None]) & (kk < j_vec[:, None])
-        FM2 = _lse_reduce(jnp.where(kmask, fm1_l + fm_r, NEG), axis=1)
+        # FM2: lse over k of FM1[i, k] + FM[k, i+d]
+        FMT = FM.T
+        FMTp = jnp.concatenate([FMT, jnp.full((A, A), NEG, f)], axis=0)
+        FMwin = jax.lax.dynamic_slice(FMTp, (d, 0), (A, A))  # [i,k]=FM[k,i+d]
+        kmask = (b_ > a_) & (b_ < (a_ + d))
+        FM2 = _lse_reduce(jnp.where(kmask, FM1 + FMwin, NEG), axis=1)
 
         # hairpin
         hp = jnp.where(
-            seg_ok[jnp.clip(i_vec + 1, 0, L + 1), jc],
-            JB(i_vec, j_vec) + t_hairpin_len[jnp.minimum(d, MAXS)],
+            row(SEGHD, d),
+            row(JBD, d) + t_hairpin_len[jnp.minimum(d, MAXS)],
             NEG,
         )
 
-        # single-branch loops incl. stacking: (p, q) = (i + l1, j - l2)
-        i_ = i_vec[:, None, None]
-        j_ = j_vec[:, None, None]
-        l1 = uu[None, :, None]
-        l2 = uu[None, None, :]
-        p = i_ + l1
-        q = j_ - l2
-        ok = (l1 + l2 <= MAXS) & (p + 2 <= q)
-        pc = jnp.clip(p, 0, L + 1)
-        qc = jnp.clip(q, 0, L + 1)
-        ok &= allow_pair[jnp.clip(p + 1, 0, L + 1), qc]
-        ok &= seg_ok[jnp.clip(i_ + 1, 0, L + 1), pc]
-        ok &= seg_ok[jnp.clip(q + 1, 0, L + 1), jnp.clip(j_, 0, L + 1)]
-        fc_in = FC[jnp.clip(p + 1, 0, L + 1), jnp.clip(q - 1, 0, L + 1)]
+        # single-branch loops incl. stacking, [l1, l2, i] layout
+        Wfc = jax.lax.dynamic_slice(FCDpad, (d, 0), (NW_, A))
+        Winb = jax.lax.dynamic_slice(INBDp, (d, 0), (NW_, A))
+        Wap = jax.lax.dynamic_slice(APDp, (d, 0), (NW_, A))
+        fc_rows, inb_rows, ap_rows = [], [], []
+        for l1 in range(MAXS + 1):
+            fcs = shl(Wfc, l1 + 1, NEG)
+            inbs = shl(Winb, l1, 0.0)
+            aps = shl(Wap, l1 + 1, False)
+            # window row w holds split size u = 60 - w; rows for l2 = 0..30
+            # at fixed l1 are w = 60-l1-l2, i.e. [30-l1, 60-l1] reversed
+            fc_rows.append(jnp.flip(fcs[30 - l1 : 61 - l1], 0))
+            inb_rows.append(jnp.flip(inbs[30 - l1 : 61 - l1], 0))
+            ap_rows.append(jnp.flip(aps[30 - l1 : 61 - l1], 0))
+        FCIN = jnp.stack(fc_rows)    # (31, 31, A): [l1, l2, i]
+        INBIN = jnp.stack(inb_rows)
+        APIN = jnp.stack(ap_rows)
 
-        si = Sc[jnp.clip(i_, 0, L + 1)]
-        sj1 = Sc[jnp.clip(j_ + 1, 0, L + 1)]
-        si1 = Sc[jnp.clip(i_ + 1, 0, L + 1)]
-        sj = Sc[jnp.clip(j_, 0, L + 1)]
-        sp1 = Sc[jnp.clip(p + 1, 0, L + 1)]
-        sq = Sc[qc]
-        sq1 = Sc[jnp.clip(q + 1, 0, L + 1)]
-        sp = Sc[pc]
-        stack_sc = t_bp[si1, sj] + t_hs[si, sj1, si1, sj]
-        jb_out = t_hc[si, sj1] + t_tm[si, sj1, si1, sj]
-        jb_in = t_hc[sq, sp1] + t_tm[sq, sp1, sq1, sp]
-        nts = (
-            jnp.where((l1 == 0) & (l2 == 1), t_b0x1[sj], 0.0)
-            + jnp.where((l1 == 1) & (l2 == 0), t_b0x1[si1], 0.0)
-            + jnp.where((l1 == 1) & (l2 == 1), t_i1x1[si1, sj], 0.0)
-        )
-        gen_sc = t_single[l1, l2] + t_bp[sp1, sq] + jb_out + jb_in + nts
-        sc = jnp.where((l1 == 0) & (l2 == 0), stack_sc, gen_sc)
-        single_terms = jnp.where(ok, fc_in + sc, NEG)
+        gen = t_single[:, :, None] + INBIN + row(JBD, d)[None, None, :]
+        gen = gen + jnp.where(m01, dshl(vb0x1, d, 0.0)[None, None, :], 0.0)
+        gen = gen + jnp.where(m10, vb0x1s[None, None, :], 0.0)
+        gen = gen + jnp.where(m11, row(M11D, d)[None, None, :], 0.0)
+        sc = jnp.where(c00, row(STKD, d)[None, None, :], gen)
+
+        ok = (u_a <= MAXS) & (u_a <= d - 2)
+        ok &= APIN
+        ok &= SEGA[:, None, :]
+        ok &= dshl(SEGB, d, False)[None, :, :]
+        single_terms = jnp.where(ok, FCIN + sc, NEG)
         single_sum = _lse_reduce(
-            single_terms.reshape(single_terms.shape[0], -1), axis=1
+            single_terms.reshape((MAXS + 1) ** 2, A), axis=0
         )
 
-        multi = FM2 + JA(i_vec, j_vec) + mp_ + mb
+        multi = FM2 + row(JAD, d) + mp_ + mb
 
         fc_new = _lse(_lse(hp, single_sum), multi)
         fc_new = jnp.where(fc_ok, fc_new, NEG)
-        FC = FC.at[i_vec, j_vec].set(fc_new, mode="drop")
+        FCD = jax.lax.dynamic_update_slice(FCD, fc_new[None, :], (d, 0))
 
         # FM1(i,j): pair (i+1, j)
-        fm1_ok = (i_vec >= 1) & (i_vec + 2 <= j_vec) & (j_vec <= n - 1)
+        fm1_ok = (lane >= 1) & (d >= 2) & (j_lane <= n - 1)
         stem = jnp.where(
-            allow_pair[jnp.clip(i_vec + 1, 0, L + 1), jc],
-            FC[jnp.clip(i_vec + 1, 0, L + 1), jnp.clip(j_vec - 1, 0, L + 1)]
-            + JA(j_vec, i_vec) + mp_ + BP(i_vec + 1, j_vec),
+            row(AP2D, d),
+            shl(row(FCDpad, 60 + d)[None, :], 1, NEG)[0]
+            + row(JARD, d) + mp_ + row(BP1D, d),
             NEG,
         )
         shift = jnp.where(
-            allow_unpaired_pos[jnp.clip(i_vec + 1, 0, L + 1)],
-            FM1[jnp.clip(i_vec + 1, 0, L + 1), jc] + mu,
+            shl(allow_unpaired_pos[None, :], 1, False)[0],
+            shl(row(FM1D, d - 1)[None, :], 1, NEG)[0] + mu,
             NEG,
         )
         fm1_new = jnp.where(fm1_ok, _lse(stem, shift), NEG)
-        FM1 = FM1.at[i_vec, j_vec].set(fm1_new, mode="drop")
+        FM1 = jnp.where(dmask, fm1_new[:, None], FM1)
+        FM1D = jax.lax.dynamic_update_slice(FM1D, fm1_new[None, :], (d, 0))
 
         # FM(i,j)
+        au_j = dshl(allow_unpaired_pos, d, False)
         fm_new = FM2
-        fm_new = _lse(
-            fm_new,
-            jnp.where(
-                allow_unpaired_pos[jc],
-                FM[i_vec, jnp.clip(j_vec - 1, 0, L + 1)] + mu,
-                NEG,
-            ),
-        )
+        fm_new = _lse(fm_new, jnp.where(au_j, row(FMD, d - 1) + mu, NEG))
         fm_new = _lse(fm_new, fm1_new)
         fm_new = jnp.where(fm1_ok, fm_new, NEG)
-        FM = FM.at[i_vec, j_vec].set(fm_new, mode="drop")
+        FM = jnp.where(dmask, fm_new[:, None], FM)
+        FMD = jax.lax.dynamic_update_slice(FMD, fm_new[None, :], (d, 0))
 
-        return (FC, FM, FM1), None
+        return (FM, FM1, FCD, FMD, FM1D), None
 
-    Zm = jnp.full((L + 2, L + 2), NEG)
-    (FC, FM, FM1), _ = jax.lax.scan(inside_step, (Zm, Zm, Zm), jnp.arange(0, L))
+    Zm = jnp.full((A, A), NEG)
+    (FM, FM1, FCD, FMD, FM1D), _ = jax.lax.scan(
+        inside_step, (Zm, Zm, Zm, Zm, Zm), jnp.arange(0, L)
+    )
+
+    # row-major FC reconstructed once (static-index select, outside the scan)
+    e_plane = b_ - a_
+    FC = jnp.where(e_plane >= 0, FCD[jnp.clip(e_plane, 0, A - 1), a_], NEG)
 
     # ---------------- F5 ----------------------------------------------------
+    FCr = jnp.concatenate([FC[1:], jnp.full((1, A), NEG, f)], axis=0)
+    BPr = rowshift(BPP)                    # BP(a+1, b)
+    APr = rowshift(allow_pair)             # ap(a+1, b)
+
     def f5_step(carry, j):
         F5 = carry
-        jc2 = jnp.clip(j, 0, L + 1)
         unp = jnp.where(
-            allow_unpaired_pos[jc2], F5[jnp.clip(j - 1, 0, L + 1)] + eu, NEG
+            allow_unpaired_pos[cl(j)], F5[cl(j - 1)] + eu, NEG
         )
-        kk2 = ii_all
+        ap_col = jax.lax.dynamic_slice(APr, (0, cl(j)), (A, 1))[:, 0]
+        fc_col = jax.lax.dynamic_slice(FCr, (0, cl(j - 1)), (A, 1))[:, 0]
+        bp_col = jax.lax.dynamic_slice(BPr, (0, cl(j)), (A, 1))[:, 0]
+        ja_row = jax.lax.dynamic_slice(JAP, (cl(j), 0), (1, A))[0]
         terms = jnp.where(
-            (kk2 < j) & (kk2 >= 0) & allow_pair[jnp.clip(kk2 + 1, 0, L + 1), jc2],
-            F5[jnp.clip(kk2, 0, L + 1)]
-            + FC[jnp.clip(kk2 + 1, 0, L + 1), jnp.clip(j - 1, 0, L + 1)]
-            + ep_ + BP(kk2 + 1, j) + JA(j, kk2),
+            (lane < j) & ap_col,
+            F5 + fc_col + ep_ + bp_col + ja_row,
             NEG,
         )
         val = _lse(unp, _lse_reduce(terms, axis=0))
         F5 = F5.at[j].set(jnp.where(j <= n, val, NEG), mode="drop")
         return F5, None
 
-    F5 = jnp.full((L + 2,), NEG).at[0].set(0.0)
+    F5 = jnp.full((A,), NEG).at[0].set(0.0)
     F5, _ = jax.lax.scan(f5_step, F5, jnp.arange(1, L + 1))
-    Z = F5[jnp.clip(n, 0, L + 1)]
+    Z = F5[cl(n)]
 
     # ---------------- outside ----------------------------------------------
     def f5o_step(carry, k):
         F5o = carry
-        kc = jnp.clip(k, 0, L + 1)
         unp = jnp.where(
-            allow_unpaired_pos[jnp.clip(k + 1, 0, L + 1)],
-            F5o[jnp.clip(k + 1, 0, L + 1)] + eu,
-            NEG,
+            allow_unpaired_pos[cl(k + 1)], F5o[cl(k + 1)] + eu, NEG
         )
-        jj2 = ii_all
+        ap_row = jax.lax.dynamic_slice(APr, (cl(k), 0), (1, A))[0]
+        fc_row = shr(
+            jax.lax.dynamic_slice(FCr, (cl(k), 0), (1, A))[0], 1, NEG
+        )
+        bp_row = jax.lax.dynamic_slice(BPr, (cl(k), 0), (1, A))[0]
+        ja_col = jax.lax.dynamic_slice(JAP, (0, cl(k)), (A, 1))[:, 0]
         terms = jnp.where(
-            (jj2 > k) & (jj2 <= n) & allow_pair[jnp.clip(k + 1, 0, L + 1), jnp.clip(jj2, 0, L + 1)],
-            F5o[jnp.clip(jj2, 0, L + 1)]
-            + FC[jnp.clip(k + 1, 0, L + 1), jnp.clip(jj2 - 1, 0, L + 1)]
-            + ep_ + BP(k + 1, jj2) + JA(jj2, k),
+            (lane > k) & (lane <= n) & ap_row,
+            F5o + fc_row + ep_ + bp_row + ja_col,
             NEG,
         )
         val = _lse(unp, _lse_reduce(terms, axis=0))
-        # padding iterations (k >= n) must not clobber the init at k = n
-        F5o = F5o.at[k].set(
-            jnp.where(k < n, val, F5o[jnp.clip(k, 0, L + 1)]), mode="drop"
-        )
+        F5o = F5o.at[k].set(jnp.where(k < n, val, F5o[cl(k)]), mode="drop")
         return F5o, None
 
-    F5o = jnp.full((L + 2,), NEG).at[jnp.clip(n, 0, L + 1)].set(0.0)
+    F5o = jnp.full((A,), NEG).at[cl(n)].set(0.0)
     F5o, _ = jax.lax.scan(f5o_step, F5o, jnp.arange(L - 1, -1, -1))
 
     # FCo seeded by the external-stem production
-    a_g = ii_all[:, None]
-    b_g = ii_all[None, :]
     fco_init = jnp.where(
-        (a_g >= 1) & (b_g >= a_g) & (b_g <= n - 1)
-        & allow_pair[a_g, jnp.clip(b_g + 1, 0, L + 1)],
-        F5o[jnp.clip(b_g + 1, 0, L + 1)]
-        + F5[jnp.clip(a_g - 1, 0, L + 1)]
-        + ep_
-        + t_bp[Sc[a_g], Sc[jnp.clip(b_g + 1, 0, L + 1)]]
-        + JA(b_g + 1, a_g - 1),
+        (a_ >= 1) & (b_ >= a_) & (b_ <= n - 1) & allow_pair[a_, cl(b_ + 1)],
+        F5o[cl(b_ + 1)] + F5[cl(a_ - 1)] + ep_
+        + BPX + JAP[cl(b_ + 1), cl(a_ - 1)],
         NEG,
     )
+    FCOID = diag(fco_init)
+
+    JBDb = jnp.concatenate([JBD, jnp.zeros((NW_ + 3, A), f)], axis=0)
+    AP1Db = jnp.concatenate([AP1D, jnp.zeros((NW_ + 3, A), bool)], axis=0)
+    FMTp_out = jnp.concatenate([FM.T, jnp.full((A, A), NEG, f)], axis=0)
 
     def outside_step(carry, d):
-        FCo, FMo, FM1o, A_FM1, A_FM = carry
-        i_vec = ii_all
-        j_vec = i_vec + d
-        jc = jnp.clip(j_vec, 0, L + 1)
-        fc_ok = (i_vec >= 1) & (j_vec <= n - 1) & allow_pair[i_vec, jnp.clip(j_vec + 1, 0, L + 1)]
+        FCoD, FMoD, FM1oD, A_FM1, A_FM = carry
+        j_lane = lane + d
+        fc_ok = (lane >= 1) & (j_lane <= n - 1) & row(AP1D, d)
 
         # FCo: ext seed + single-loop from outer FC + FM1 production
-        fco = fco_init[i_vec, jc]
+        fco = row(FCOID, d)
 
-        i_ = i_vec[:, None, None]
-        j_ = j_vec[:, None, None]
-        l1 = uu[None, :, None]
-        l2 = uu[None, None, :]
-        I = i_ - 1 - l1
-        J = j_ + 1 + l2
-        ok = (l1 + l2 <= MAXS) & (I >= 1) & (J <= n - 1)
-        Ic = jnp.clip(I, 0, L + 1)
-        Jc = jnp.clip(J, 0, L + 1)
-        ok &= allow_pair[Ic, jnp.clip(J + 1, 0, L + 1)]
-        # unpaired gates on both strands: [I+1, i-1], [j+1, J-1]
-        ok &= seg_ok[jnp.clip(I + 1, 0, L + 1), jnp.clip(i_ - 1, 0, L + 1)]
-        ok &= seg_ok[jnp.clip(j_ + 1, 0, L + 1), jnp.clip(J - 1, 0, L + 1)]
-        fco_out = FCo[Ic, Jc]
-
-        sI = Sc[Ic]
-        sJ1 = Sc[jnp.clip(J + 1, 0, L + 1)]
-        sI1 = Sc[jnp.clip(I + 1, 0, L + 1)]
-        sJ = Sc[Jc]
-        s_i = Sc[jnp.clip(i_, 0, L + 1)]
-        s_j1 = Sc[jnp.clip(j_ + 1, 0, L + 1)]
-        s_im1 = Sc[jnp.clip(i_ - 1, 0, L + 1)]
-        s_j2 = Sc[jnp.clip(j_ + 2, 0, L + 1)]
-        stack_sc = t_bp[s_i, s_j1] + t_hs[sI, sJ1, sI1, sJ]
-        jb_out = t_hc[sI, sJ1] + t_tm[sI, sJ1, sI1, sJ]
-        jb_in = t_hc[s_j1, s_i] + t_tm[s_j1, s_i, s_j2, s_im1]
-        nts = (
-            jnp.where((l1 == 0) & (l2 == 1), t_b0x1[sJ], 0.0)
-            + jnp.where((l1 == 1) & (l2 == 0), t_b0x1[sI1], 0.0)
-            + jnp.where((l1 == 1) & (l2 == 1), t_i1x1[sI1, sJ], 0.0)
+        FCoDp = jnp.concatenate(
+            [FCoD, jnp.full((NW_ + 3, A), NEG, f)], axis=0
         )
-        gen_sc = t_single[l1, l2] + t_bp[s_i, s_j1] + jb_out + jb_in + nts
-        sc2 = jnp.where((l1 == 0) & (l2 == 0), stack_sc, gen_sc)
-        terms = jnp.where(ok, fco_out + sc2, NEG)
-        fco = _lse(fco, _lse_reduce(terms.reshape(terms.shape[0], -1), axis=1))
+        Wfco = jax.lax.dynamic_slice(FCoDp, (d + 2, 0), (NW_, A))
+        Wjb = jax.lax.dynamic_slice(JBDb, (d + 2, 0), (NW_, A))
+        Wap = jax.lax.dynamic_slice(AP1Db, (d + 2, 0), (NW_, A))
+        fco_rows, jb_rows, ap_rows = [], [], []
+        for l1 in range(MAXS + 1):
+            fcs = shr(Wfco, l1 + 1, NEG)
+            jbs = shr(Wjb, l1 + 1, 0.0)
+            aps = shr(Wap, l1 + 1, False)
+            # window row w holds u = w; rows for l2 = 0..30 at fixed l1 are
+            # w = l1 + l2
+            fco_rows.append(fcs[l1 : l1 + MAXS + 1])
+            jb_rows.append(jbs[l1 : l1 + MAXS + 1])
+            ap_rows.append(aps[l1 : l1 + MAXS + 1])
+        FCOIN = jnp.stack(fco_rows)  # (31, 31, A): [l1, l2, i]
+        JBIN = jnp.stack(jb_rows)
+        APIN = jnp.stack(ap_rows)
 
-        # FM1 production: FM1(i-1, j+1) -> FC(i, j)
+        bp_row = row(BPXD, d)                    # t_bp[S[i], S[j+1]]
+        gen = t_single[:, :, None] + bp_row[None, None, :] + JBIN
+        gen = gen + row(JIND, d)[None, None, :]
+        gen = gen + jnp.where(m01, dshl(vb0x1, d + 2, 0.0)[None, None, :], 0.0)
+        gen = gen + jnp.where(m10, vb0x1r[None, None, :], 0.0)
+        gen = gen + jnp.where(
+            m11, shr(row(P11D, d + 3)[None, :], 1, 0.0)[0][None, None, :], 0.0
+        )
+        stack_row = bp_row + shr(row(HSPD, d + 2)[None, :], 1, 0.0)[0]
+        sc2 = jnp.where(c00, stack_row[None, None, :], gen)
+
+        ok = u_a <= MAXS
+        ok &= lane[None, None, :] >= l1a + 2             # I >= 1
+        ok &= j_lane[None, None, :] + 1 + l2a <= n - 1   # J <= n-1
+        ok &= APIN
+        ok &= SEGC[:, None, :]
+        ok &= dshl(SEGD, d, False)[None, :, :]
+        terms = jnp.where(ok, FCOIN + sc2, NEG)
+        fco = _lse(
+            fco, _lse_reduce(terms.reshape((MAXS + 1) ** 2, A), axis=0)
+        )
+
+        # FM1 production: FM1o(i-1, j+1) -> FC(i, j)
         fm1_src = jnp.where(
-            (i_vec - 1 >= 1) & allow_pair[i_vec, jnp.clip(j_vec + 1, 0, L + 1)],
-            FM1o[jnp.clip(i_vec - 1, 0, L + 1), jnp.clip(j_vec + 1, 0, L + 1)]
-            + JA(j_vec + 1, i_vec - 1) + mp_ + BP(i_vec, j_vec + 1),
+            (lane - 1 >= 1) & row(AP1D, d),
+            shr(row(FM1oD, d + 2)[None, :], 1, NEG)[0]
+            + shr(row(JARD, d + 2)[None, :], 1, 0.0)[0] + mp_ + bp_row,
             NEG,
         )
         fco = _lse(fco, fm1_src)
         fco = jnp.where(fc_ok, fco, NEG)
-        FCo = FCo.at[i_vec, j_vec].set(fco, mode="drop")
+        FCoD = jax.lax.dynamic_update_slice(FCoD, fco[None, :], (d, 0))
 
-        cell_ok = (i_vec >= 1) & (i_vec + 2 <= j_vec) & (j_vec <= n - 1)
-        # FMo(i,j) = lse(A_FM[i,j], FMo(i, j+1) + mu(j+1))
-        fmo = A_FM[i_vec, jc]
-        fmo = _lse(
-            fmo,
-            jnp.where(
-                allow_unpaired_pos[jnp.clip(j_vec + 1, 0, L + 1)],
-                FMo[i_vec, jnp.clip(j_vec + 1, 0, L + 1)] + mu,
-                NEG,
-            ),
+        cell_ok = (lane >= 1) & (d >= 2) & (j_lane <= n - 1)
+
+        # diagonal reads of the dense accumulators: X[i, i+d]
+        A_FMp = jnp.concatenate([A_FM, jnp.full((A, A), NEG, f)], axis=1)
+        afm_diag = jnp.diagonal(jax.lax.dynamic_slice(A_FMp, (0, d), (A, A)))
+        A_FM1p = jnp.concatenate([A_FM1, jnp.full((A, A), NEG, f)], axis=1)
+        afm1_diag = jnp.diagonal(
+            jax.lax.dynamic_slice(A_FM1p, (0, d), (A, A))
         )
-        fmo = jnp.where(cell_ok, fmo, NEG)
-        FMo = FMo.at[i_vec, j_vec].set(fmo, mode="drop")
 
-        # FM1o(i,j) = lse(A_FM1[i,j], FMo(i,j), FM1o(i-1, j) + mu(i))
-        fm1o = _lse(A_FM1[i_vec, jc], fmo)
+        au_j1 = dshl(allow_unpaired_pos, d + 1, False)
+        fmo = afm_diag
+        fmo = _lse(fmo, jnp.where(au_j1, row(FMoD, d + 1) + mu, NEG))
+        fmo = jnp.where(cell_ok, fmo, NEG)
+        FMoD = jax.lax.dynamic_update_slice(FMoD, fmo[None, :], (d, 0))
+
+        fm1o = _lse(afm1_diag, fmo)
         fm1o = _lse(
             fm1o,
             jnp.where(
-                allow_unpaired_pos[jnp.clip(i_vec, 0, L + 1)],
-                FM1o[jnp.clip(i_vec - 1, 0, L + 1), jc] + mu,
+                allow_unpaired_pos,
+                shr(row(FM1oD, d + 1)[None, :], 1, NEG)[0] + mu,
                 NEG,
             ),
         )
         fm1o = jnp.where(cell_ok, fm1o, NEG)
-        FM1o = FM1o.at[i_vec, j_vec].set(fm1o, mode="drop")
+        FM1oD = jax.lax.dynamic_update_slice(FM1oD, fm1o[None, :], (d, 0))
 
         # G and accumulator updates (target cells have strictly smaller span)
-        G = _lse(fmo, jnp.where(fc_ok, fco + JA(i_vec, j_vec) + mp_ + mb, NEG))
-        kk = ii_all[None, :]
-        gmask = (kk > i_vec[:, None]) & (kk < j_vec[:, None])
-        upd1 = jnp.where(gmask, G[:, None] + FM[kk, jc[:, None]], NEG)
-        # A_FM1[i, k] lse= G(i,j) + FM(k, j): row i fixed per cell
-        A_FM1 = _lse(A_FM1, jnp.full_like(A_FM1, NEG).at[i_vec[:, None], kk].max(
-            upd1, mode="drop"
-        ))
-        upd2 = jnp.where(gmask, G[:, None] + FM1[i_vec[:, None], kk], NEG)
-        # A_FM[k, j] lse= G(i,j) + FM1(i, k): scatter into (k, j) — for a
-        # fixed diagonal each cell has distinct j, so build a dense update
-        U2 = jnp.full((L + 2, L + 2), NEG)
-        U2 = U2.at[kk, jc[:, None]].max(upd2, mode="drop")
-        A_FM = _lse(A_FM, U2)
+        G = _lse(fmo, jnp.where(fc_ok, fco + row(JAD, d) + mp_ + mb, NEG))
+        gmask = (b_ > a_) & (b_ < (a_ + d))
+        FMwin = jax.lax.dynamic_slice(FMTp_out, (d, 0), (A, A))
+        upd1 = jnp.where(gmask, G[:, None] + FMwin, NEG)
+        A_FM1 = _lse(A_FM1, upd1)
+        upd2 = jnp.where(gmask, G[:, None] + FM1, NEG)
+        # A_FM[k, j=i+d] lse= upd2[i, k]: transpose + dynamic right shift
+        updTp = jnp.concatenate(
+            [jnp.full((A, A), NEG, f), upd2.T], axis=1
+        )
+        shifted = jax.lax.dynamic_slice(updTp, (0, A - d), (A, A))
+        A_FM = _lse(A_FM, shifted)
 
-        return (FCo, FMo, FM1o, A_FM1, A_FM), None
+        return (FCoD, FMoD, FM1oD, A_FM1, A_FM), None
 
     init = (Zm, Zm, Zm, Zm, Zm)
-    (FCo, FMo, FM1o, _, _), _ = jax.lax.scan(
+    (FCoD, FMoD, FM1oD, _, _), _ = jax.lax.scan(
         outside_step, init, jnp.arange(L - 1, -1, -1)
     )
 
+    FCo = jnp.where(e_plane >= 0, FCoD[jnp.clip(e_plane, 0, A - 1), a_], NEG)
+
     # ---------------- posterior --------------------------------------------
-    a_g2 = ii_all[:, None]
-    b_g2 = ii_all[None, :]
-    pair_ok = (a_g2 >= 1) & (b_g2 > a_g2) & (b_g2 <= n) & allow_pair[a_g2, b_g2]
-    fci = FC[a_g2, jnp.clip(b_g2 - 1, 0, L + 1)]
-    fcov = FCo[a_g2, jnp.clip(b_g2 - 1, 0, L + 1)]
+    pair_ok = (a_ >= 1) & (b_ > a_) & (b_ <= n) & allow_pair
+    fci = jnp.concatenate([FC[:, :1], FC[:, :-1]], axis=1)    # FC[a, b-1]
+    fcov = jnp.concatenate([FCo[:, :1], FCo[:, :-1]], axis=1)
     logp = fci + fcov - Z
-    post = jnp.where(pair_ok & (logp > -60.0), jnp.exp(jnp.minimum(logp, 0.0)), 0.0)
+    post = jnp.where(
+        pair_ok & (logp > -60.0), jnp.exp(jnp.minimum(logp, 0.0)), 0.0
+    )
     post = jnp.clip(post, 0.0, 1.0)
     return post, Z, FC, FCo, F5, F5o
 
