@@ -809,10 +809,20 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # (rebuilding build_special_tables alone cost ~32 ms per call)
         _tk = (bl, nseq)
         if _tk not in _KTAB_CACHE:
+            # cache the DEVICE-resident table dicts: re-uploading the ~30
+            # arrays per call (jnp.asarray creates a fresh buffer each time)
+            # cost ~2-5 ms per transfer over the axon relay — a large part
+            # of the measured ~150 ms fixed per-call share
+            loop_np = ak.build_loop_tables(t2)
+            spec_np = ak.build_special_tables(t2)
+            gtabs_np = ak.build_gtabs(t2)
             _KTAB_CACHE[_tk] = (
-                ak.build_loop_tables(t2),
-                ak.build_special_tables(t2),
-                ak.build_gtabs(t2),
+                {k: jnp.asarray(v) for k, v in loop_np.items()},
+                {
+                    k: (jnp.asarray(v) if hasattr(v, "shape") else jnp.float32(v))
+                    for k, v in spec_np.items()
+                },
+                {k: jnp.asarray(v) for k, v in gtabs_np.items()},
             )
         loop_tabs, spec_tabs, gtabs = _KTAB_CACHE[_tk]
         PADC = ak.PAD
@@ -832,14 +842,12 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
         # per-call wall time over the axon relay); results stay
         # device-resident into alifold_fast
         seq_planes = ak.build_seq_planes(
-            {k: jnp.asarray(v) for k, v in gtabs.items()},
-            Sb, S5b, S3b, jnp.asarray(valid), L=L, NS=NS,
+            gtabs, Sb, S5b, S3b, jnp.asarray(valid), L=L, NS=NS,
         )
         planes_j = {k: jnp.asarray(v) for k, v in planes.items()}
         planes_j.update(seq_planes)
-        loop_j = {k: jnp.asarray(v) for k, v in loop_tabs.items()}
-        spec_j = {k: (jnp.asarray(v) if hasattr(v, "shape") else jnp.float32(v))
-                  for k, v in spec_tabs.items()}
+        loop_j = loop_tabs
+        spec_j = spec_tabs
         psc_j = jnp.asarray(psc_fac, jnp.float32)
         ap_j = jnp.asarray(allow_pair)
         au_j = jnp.asarray(allow_unpaired)
