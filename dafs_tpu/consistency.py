@@ -131,16 +131,19 @@ def similarity_matrix(mp: np.ndarray, lens: list[int]) -> np.ndarray:
     P2 = P1
     B = len(pairs)
     pp = np.zeros((B, P1, P2), np.float32)
-    ee = np.zeros((B, P1, P2), bool)
     l1 = np.zeros(B, np.int32)
     l2 = np.zeros(B, np.int32)
     for b, (i, j) in enumerate(pairs):
         pp[b, : lens[i], : lens[j]] = mp[i, j, : lens[i], : lens[j]]
-        ee[b] = pp[b] > 0
         l1[b], l2[b] = lens[i], lens[j]
+    from dafs_tpu.utils import sparsexfer as _sx
+
+    # sparse-packed push; the presence mask is recomputed on device (it is
+    # exactly pp > 0, so results are unchanged)
+    pp_dev = _sx.push(pp)
     dp, tr = aot.cached_call(
         _similarity_batched(P1, P2),
-        jnp.asarray(pp), jnp.asarray(ee), jnp.asarray(l1), jnp.asarray(l2),
+        pp_dev, pp_dev > jnp.float32(0.0), jnp.asarray(l1), jnp.asarray(l2),
         salt=f"similarity_batched P={P1}",
     )
     dp = np.asarray(dp)
@@ -277,12 +280,16 @@ def relax_matching_probability(
         xs[b], ys[b] = x, y
         W[b] = w
         sum_w[b] = np.float32(np.sum(w, dtype=np.float32))
-    args = (jnp.asarray(mp), jnp.asarray(xs), jnp.asarray(ys),
+    from dafs_tpu.utils import sparsexfer as _sx
+
+    # the (N, N, L, L) posterior tensor and the (B, L, L) results are
+    # >= 98% exact zeros (CUTOFF-thresholded); move them sparse-packed
+    args = (_sx.push(mp), jnp.asarray(xs), jnp.asarray(ys),
             jnp.asarray(W), jnp.asarray(sum_w))
     if mesh is not None:
-        posts = np.asarray(_sharded_pct("mp", mesh)(*args))
+        posts = _sx.pull(_sharded_pct("mp", mesh)(*args))
     else:
-        posts = np.asarray(_relax_mp_scan(*args))
+        posts = _sx.pull(_relax_mp_scan(*args))
     out = np.zeros_like(mp)
     for b, (x, y) in enumerate(pairs):
         p = posts[b].copy()
@@ -319,12 +326,14 @@ def relax_basepairing_probability(
         xs[x] = x
         W[x] = w
         sum_w[x] = np.float32(np.sum(w, dtype=np.float32))
-    args = (jnp.asarray(bp), jnp.asarray(mp), jnp.asarray(xs),
+    from dafs_tpu.utils import sparsexfer as _sx
+
+    args = (_sx.push(bp), _sx.push(mp), jnp.asarray(xs),
             jnp.asarray(W), jnp.asarray(sum_w))
     if mesh is not None:
-        posts = np.asarray(_sharded_pct("bp", mesh)(*args))
+        posts = _sx.pull(_sharded_pct("bp", mesh)(*args))
     else:
-        posts = np.asarray(_relax_bp_scan(*args))
+        posts = _sx.pull(_relax_bp_scan(*args))
     out = posts[:N].copy()
     for x in range(N):
         out[x, lens[x]:, :] = 0.0

@@ -360,7 +360,11 @@ def batch_posteriors(seqs1, seqs2, threshold):
         codes1[b, 1 : len(s) + 1] = P.encode(s)
     for b, s in enumerate(seqs2):
         codes2[b, 1 : len(s) + 1] = P.encode(s)
-    post = np.asarray(
+    from dafs_tpu.utils import sparsexfer
+
+    # the posterior tensor is mostly exact zeros (probcons_exp maps
+    # log-posteriors <= -16 to 0.0); pull it sparse-packed
+    post = sparsexfer.pull(
         best_forward_backward_posterior(
             jnp.asarray(codes1), jnp.asarray(len1), jnp.asarray(codes2),
             jnp.asarray(len2), l1max=l1max, l2max=l2max,
