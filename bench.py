@@ -279,6 +279,17 @@ def main() -> None:
     e2e_17_ts.append(run_e2e(inputs=fa17, phases_out=ph17))
     e2e_17_warm = statistics.median(e2e_17_ts)
 
+    # ---- config 4 (cont.): 50-seq family FULL pipeline (BASELINE config 4;
+    # previously only the all-pairs batch above was in the JSON) ------------
+    from dafs_tpu.fasta import Fasta
+
+    fam_fa2 = [Fasta(f"fam{i}", s) for i, s in enumerate(fam)]
+    e2e_fam_first = run_e2e(inputs=fam_fa2)
+    phfam: dict = {}
+    e2e_fam_ts = [run_e2e(inputs=fam_fa2)]
+    e2e_fam_ts.append(run_e2e(inputs=fam_fa2, phases_out=phfam))
+    e2e_fam_warm = statistics.median(e2e_fam_ts)
+
     print(
         json.dumps(
             {
@@ -339,6 +350,11 @@ def main() -> None:
                     "rf00017_e2e_warm_s": round(e2e_17_warm, 2),
                     "rf00017_e2e_warm_phases_s": {
                         k: round(v, 2) for k, v in ph17.items()
+                    },
+                    "family50_e2e_first_s": round(e2e_fam_first, 2),
+                    "family50_e2e_warm_s": round(e2e_fam_warm, 2),
+                    "family50_e2e_warm_phases_s": {
+                        k: round(v, 2) for k, v in phfam.items()
                     },
                     "rf00005_e2e_ipknot_s": round(e2e_ipknot, 2),
                     "rf00005_e2e_ipknot_warm_s": round(e2e_ipknot_warm, 2),

@@ -82,14 +82,16 @@ def family(n=50, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ici-gbps", type=float, default=45.0)
+    ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--out", default="SCALING_r05.json")
+    ap.add_argument("--no-e2e", action="store_true", help="skip the full-pipeline serial-share run (large families compile new merge shapes)")
     args = ap.parse_args()
 
     from dafs_tpu.models import probcons_params as PP
     from dafs_tpu.ops import mccaskill, pairhmm
     from dafs_tpu import consistency
 
-    fam = family(50)
+    fam = family(args.n)
     N_SEQ = len(fam)
     pairs = [(x, y) for x in range(N_SEQ - 1) for y in range(x + 1, N_SEQ)]
     NP_ = len(pairs)
@@ -202,35 +204,38 @@ def main():
     # measured from the e2e phase split (single-device today; the layered
     # DD batch is the natural next sharding axis, width up to 17 merges on
     # this family)
-    import logging
-    import dafs_tpu
-    from dafs_tpu.utils.log import logger
+    phases: dict = {}
+    e2e = 0.0
+    serial_s = 0.0
+    if not args.no_e2e:
+        import logging
+        import dafs_tpu
+        from dafs_tpu.utils.log import logger
 
-    r1 = dafs_tpu.align_and_fold(fam)  # warm
-    phases = {}
+        r1 = dafs_tpu.align_and_fold(fam)  # warm
 
-    class _Grab(logging.Handler):
-        def emit(self, rec):
-            m = rec.getMessage()
-            if m.startswith("phase "):
-                name, _, val = m[6:].rpartition(": ")
-                phases[name] = float(val[:-1])
+        class _Grab(logging.Handler):
+            def emit(self, rec):
+                m = rec.getMessage()
+                if m.startswith("phase "):
+                    name, _, val = m[6:].rpartition(": ")
+                    phases[name] = float(val[:-1])
 
-    h = _Grab()
-    logger.addHandler(h)
-    lvl = logger.level
-    logger.setLevel(logging.INFO)
-    try:
-        t0 = time.perf_counter()
-        r2 = dafs_tpu.align_and_fold(fam)
-        e2e = time.perf_counter() - t0
-    finally:
-        logger.removeHandler(h)
-        logger.setLevel(lvl)
-    assert str(r1) == str(r2)
-    serial_s = phases.get("progressive merges", 0.0) + phases.get(
-        "final avg_bp (+alifold)", 0.0
-    ) + phases.get("final decode", 0.0)
+        h = _Grab()
+        logger.addHandler(h)
+        lvl = logger.level
+        logger.setLevel(logging.INFO)
+        try:
+            t0 = time.perf_counter()
+            r2 = dafs_tpu.align_and_fold(fam)
+            e2e = time.perf_counter() - t0
+        finally:
+            logger.removeHandler(h)
+            logger.setLevel(lvl)
+        assert str(r1) == str(r2)
+        serial_s = phases.get("progressive merges", 0.0) + phases.get(
+            "final avg_bp (+alifold)", 0.0
+        ) + phases.get("final decode", 0.0)
 
     # ---- prediction --------------------------------------------------------
     bw = args.ici_gbps * 1e9
@@ -277,6 +282,7 @@ def main():
                  + f"; parallel-only {tot[1]/(n*(tot[n]+comm_tot[n]))*100:.0f}%)"))
 
     out = {
+        "n_seqs": N_SEQ,
         "stages": table,
         "phases_e2e_s": phases,
         "e2e_warm_s": round(e2e, 2),
