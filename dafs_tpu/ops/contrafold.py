@@ -29,7 +29,7 @@ from dafs_tpu.ops import contrafold_params as CF
 
 from dafs_tpu.utils import aot
 
-NEG = jnp.float32(-2e20)
+NEG = np.float32(-2e20)  # numpy, not jnp: see ops/logspace.py
 MAXS = 30  # C_MAX_SINGLE_LENGTH
 
 

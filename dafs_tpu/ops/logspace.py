@@ -13,10 +13,17 @@ All functions operate elementwise on float32 arrays and are safe under jit.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-LOG_ZERO = jnp.float32(-2e20)
-LOG_ONE = jnp.float32(0.0)
-LOG_UNDERFLOW = jnp.float32(7.5)
+# numpy scalars, NOT jnp: a module-level jnp constant is a device buffer
+# created at import time and CAPTURED by every jit that references it —
+# measured on the axon runtime, one such captured buffer permanently
+# degrades every subsequent dispatch of the whole process by ~28 ms (the
+# round-3 'fixed in-executable stall').  numpy scalars embed as HLO
+# literals with identical f32 values.
+LOG_ZERO = np.float32(-2e20)
+LOG_ONE = np.float32(0.0)
+LOG_UNDERFLOW = np.float32(7.5)
 
 
 def _poly3(x, a, b, c, d):
@@ -98,7 +105,7 @@ def probcons_exp(x):
 # CONTRA* engines (contrafold/LogSpace.hpp = contralign/LogSpace.hpp)
 # ---------------------------------------------------------------------------
 
-NEG_INF = jnp.float32(-2e20)
+NEG_INF = np.float32(-2e20)  # numpy, not jnp: see LOG_ZERO note
 
 
 _CONTRA_LEPO_MAX = 11.8624794162

@@ -24,7 +24,9 @@ import numpy as np
 
 from dafs_tpu.utils import aot
 
-NEG = jnp.float32(-3e38)
+# numpy, not jnp: module-level jnp constants are captured device buffers
+# and trigger the relay's ~28 ms-per-dispatch mode (see ops/logspace.py)
+NEG = np.float32(-3e38)
 
 
 def to_ldiag(sm: np.ndarray) -> np.ndarray:

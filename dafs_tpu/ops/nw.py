@@ -20,7 +20,7 @@ import numpy as np
 
 from dafs_tpu.utils import aot
 
-LOWEST = jnp.float32(np.finfo(np.float32).min)
+LOWEST = np.float32(np.finfo(np.float32).min)  # numpy, not jnp: see ops/logspace.py
 
 
 def envelope(p: np.ndarray, th: float) -> np.ndarray:

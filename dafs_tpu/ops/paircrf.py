@@ -25,7 +25,7 @@ from dafs_tpu.ops.logspace import contra_fast_exp
 
 from dafs_tpu.utils import aot
 
-NEG = jnp.float32(-2e20)
+NEG = np.float32(-2e20)  # numpy, not jnp: see ops/logspace.py
 M_, IX, IY, I2X, I2Y = range(5)
 
 _T = None
