@@ -275,6 +275,34 @@ def _dd_device_batch(*args, L1, L2, U, t_max, update_rule="subgradient"):
     return jax.vmap(fn)(*args)
 
 
+@jax.jit
+def _pack_dd_out(s, t, violated, x, y, z):
+    """Pack a DD solve's six outputs into one device array (int32 results
+    bitcast to f32, exact round trip) so the host pays ONE readback round
+    trip (~26 ms on the async relay) instead of six."""
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa: E731
+    if s.ndim == 0:
+        return jnp.concatenate(
+            [s[None], bc(t)[None], bc(violated)[None], bc(x), bc(y), bc(z)]
+        )
+    return jnp.concatenate(
+        [s[:, None], bc(t)[:, None], bc(violated)[:, None], bc(x), bc(y), bc(z)],
+        axis=1,
+    )
+
+
+def _unpack_dd_out(buf, P1, P2):
+    """Host-side inverse of _pack_dd_out (per row / 1-D)."""
+    iv = lambda a: np.ascontiguousarray(a).view(np.int32)  # noqa: E731
+    s = buf[..., 0]
+    t = iv(buf[..., 1])
+    violated = iv(buf[..., 2])
+    x = iv(buf[..., 3 : 3 + P1])
+    y = iv(buf[..., 3 + P1 : 3 + P1 + P2])
+    z = iv(buf[..., 3 + P1 + P2 : 3 + P1 + P2 + P1])
+    return s, t, violated, x, y, z
+
+
 def _prep_dd_problem(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, P1, P2, U):
     """Pad one merge's inputs to (P1, P2, U); returns the _dd_core arg tuple
     (minus the scalars shared across a batch)."""
@@ -355,7 +383,7 @@ def solve_by_dd_batch(problems, *, w, th_s, th_a, eta0, t_max,
     logger.debug("DD batch: B=%d (pad %d) P1=%d P2=%d U=%d", B, Bp, P1, P2, U)
     stk = lambda k: jnp.asarray(np.stack([pr[k] for pr in preps]))  # noqa: E731
     zeros = lambda shape: jnp.zeros((Bp,) + shape, jnp.float32)  # noqa: E731
-    s, t, violated, x, y, z = _dd_device_batch(
+    out_dev = _dd_device_batch(
         stk(0), stk(1), stk(2),
         zeros((P1, P1)), zeros((P2, P2)), zeros((P1, P2)),
         stk(3), stk(4), stk(5), stk(6), stk(7), stk(8), stk(9),
@@ -364,12 +392,9 @@ def solve_by_dd_batch(problems, *, w, th_s, th_a, eta0, t_max,
         jnp.full((Bp,), f(eta0)), stk(14),
         L1=P1, L2=P2, U=U, t_max=t_max, update_rule=update_rule,
     )
-    s = np.asarray(s)
-    t = np.asarray(t)
-    violated = np.asarray(violated)
-    x = np.asarray(x)
-    y = np.asarray(y)
-    z = np.asarray(z)
+    s, t, violated, x, y, z = _unpack_dd_out(
+        np.asarray(_pack_dd_out(*out_dev)), P1, P2
+    )
     out = []
     for b, (p_x, p_y, p_z, n1, n2) in enumerate(problems):
         L1, L2 = p_z.shape
@@ -445,7 +470,7 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
     # plain jitted path when progress reporting is on (a debug mode)
     dd_fn = _dd_device._jitted if prog else _dd_device
 
-    s, t, violated, x, y, z = dd_fn(
+    out_dev = dd_fn(
         jnp.asarray(pxp), jnp.asarray(pyp), jnp.asarray(pzp),
         jnp.zeros((P1, P1), jnp.float32), jnp.zeros((P2, P2), jnp.float32),
         jnp.zeros((P1, P2), jnp.float32),
@@ -458,10 +483,13 @@ def solve_by_dd(p_x, p_y, p_z, n1, n2, *, w, th_s, th_a, eta0, t_max,
         L1=P1, L2=P2, U=U, t_max=t_max, update_rule=update_rule,
         progress_every=prog,
     )
+    s, t, violated, x, y, z = _unpack_dd_out(
+        np.asarray(_pack_dd_out(*out_dev)), P1, P2
+    )
     logger.info("Step: %d, Violated: %d", int(t), int(violated))
-    x = np.asarray(x)[:L1].astype(np.int64)
-    y = np.asarray(y)[:L2].astype(np.int64)
-    z = np.asarray(z)[:L1].astype(np.int64)
+    x = x[:L1].astype(np.int64)
+    y = y[:L2].astype(np.int64)
+    z = z[:L1].astype(np.int64)
     return float(s), x, y, z
 
 

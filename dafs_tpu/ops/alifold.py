@@ -50,6 +50,16 @@ DM = np.array(
 
 _EXP_CACHE: dict = {}
 _KTAB_CACHE: dict = {}  # (bl, n_seq) -> (loop_tabs, spec_tabs, gtabs)
+
+
+@jax.jit
+def _pack_pout_q(pout, Q):
+    """Pack the consensus posterior plane and Q into one device array so
+    the retry ladder pays ONE ~26 ms host-readback round trip per attempt
+    instead of two (float(Q) + np.asarray(pout))."""
+    return jnp.concatenate([pout.reshape(-1), Q.reshape(1)])
+
+
 _SC_CACHE: dict = {}  # (n_seq, L_bucket) -> last successful pf scale
 # When set (pipeline._align's threaded layer prep), warm-start READS come
 # from this immutable snapshot so they are independent of thread timing.
@@ -901,8 +911,13 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
                         )
             else:
                 pout, Q = _call(sc)
-            Qv = float(Q)
-            if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(np.asarray(pout)).all():
+            # one host readback per attempt: pout and Q packed into a single
+            # device array (the async relay charges a ~26 ms round trip per
+            # readback; float(Q) + np.asarray(pout) separately paid two)
+            buf = np.asarray(_pack_pout_q(pout, Q))
+            Qv = float(buf[-1])
+            pout_h = buf[:-1].reshape(pout.shape)
+            if np.isfinite(Qv) and 1e-25 < Qv < 1e25 and np.isfinite(pout_h).all():
                 ok = True
                 if not _warm:
                     if _frozen is not None:
@@ -934,7 +949,7 @@ def consensus_bp(seqs: list[str], th: float, bl=True, constraint=None,
                 n, nseq, BCUT, _t1 - _t0, _t2 - _t1,
                 _time.perf_counter() - _t2,
             )
-        pm = np.asarray(pout)[1 : n + 1, 1 : n + 1].astype(np.float32)
+        pm = pout_h[1 : n + 1, 1 : n + 1].astype(np.float32)
         pm[pm <= th] = 0.0
         pm[pm <= 1e-6] = 0.0
         np.clip(pm, 0.0, 1.0, out=pm)
