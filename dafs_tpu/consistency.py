@@ -109,6 +109,13 @@ def similarity(mp: np.ndarray, present: np.ndarray, l1: int, l2: int) -> float:
 _SIM_BATCHED: dict = {}
 
 
+@jax.jit
+def _pack_sim_out(dp, tr):
+    # tr counts are small ints -> float32 conversion is exact (bitcast
+    # rejected: TPU data movement flushes denormal bit patterns to zero)
+    return jnp.concatenate([dp, tr.astype(jnp.float32)])
+
+
 def _similarity_batched(P1, P2):
     if (P1, P2) not in _SIM_BATCHED:
         def call(p, present, l1, l2):
@@ -146,8 +153,11 @@ def similarity_matrix(mp: np.ndarray, lens: list[int]) -> np.ndarray:
         pp_dev, pp_dev > jnp.float32(0.0), jnp.asarray(l1), jnp.asarray(l2),
         salt=f"similarity_batched P={P1}",
     )
-    dp = np.asarray(dp)
-    tr = np.asarray(tr)
+    # one readback for both result vectors (~26 ms round trip each on the
+    # async relay); tr converts exactly through float32
+    buf = np.asarray(_pack_sim_out(dp, tr))
+    dp = buf[: len(pairs)]
+    tr = buf[len(pairs) :].astype(np.int32)
     sim = np.ones((N, N), np.float32)
     for b, (i, j) in enumerate(pairs):
         sim[i, j] = sim[j, i] = np.float32(float(dp[b]) / float(tr[b]))

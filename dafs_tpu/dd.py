@@ -277,23 +277,25 @@ def _dd_device_batch(*args, L1, L2, U, t_max, update_rule="subgradient"):
 
 @jax.jit
 def _pack_dd_out(s, t, violated, x, y, z):
-    """Pack a DD solve's six outputs into one device array (int32 results
-    bitcast to f32, exact round trip) so the host pays ONE readback round
-    trip (~26 ms on the async relay) instead of six."""
-    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa: E731
+    """Pack a DD solve's six outputs into one device array so the host pays
+    ONE readback round trip (~26 ms on the async relay) instead of six.
+    The int32 results are all small (|v| <= t_max or the padded length), so
+    float32 conversion is exact; bitcasting was rejected because eager TPU
+    data movement flushes denormal bit patterns of small ints to zero."""
+    fc = lambda a: a.astype(jnp.float32)  # noqa: E731
     if s.ndim == 0:
         return jnp.concatenate(
-            [s[None], bc(t)[None], bc(violated)[None], bc(x), bc(y), bc(z)]
+            [s[None], fc(t)[None], fc(violated)[None], fc(x), fc(y), fc(z)]
         )
     return jnp.concatenate(
-        [s[:, None], bc(t)[:, None], bc(violated)[:, None], bc(x), bc(y), bc(z)],
+        [s[:, None], fc(t)[:, None], fc(violated)[:, None], fc(x), fc(y), fc(z)],
         axis=1,
     )
 
 
 def _unpack_dd_out(buf, P1, P2):
     """Host-side inverse of _pack_dd_out (per row / 1-D)."""
-    iv = lambda a: np.ascontiguousarray(a).view(np.int32)  # noqa: E731
+    iv = lambda a: a.astype(np.int32)  # noqa: E731
     s = buf[..., 0]
     t = iv(buf[..., 1])
     violated = iv(buf[..., 2])

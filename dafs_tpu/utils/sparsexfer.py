@@ -41,6 +41,9 @@ def _cap_for(nnz: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _pack(xf, *, cap):
+    # indices and values pull separately (bitcast-packing them into one f32
+    # buffer was rejected: TPU data movement flushes denormal bit patterns,
+    # and flat indices can exceed 2**24 so float conversion is not exact)
     size = xf.shape[0]
     (idx,) = jnp.nonzero(xf, size=cap, fill_value=size)
     vals = xf[jnp.minimum(idx, size - 1)]
