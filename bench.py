@@ -146,6 +146,21 @@ def main() -> None:
     dt8, iqr8 = med_iqr(t8)
     cells8 = cells17 * 8
 
+    # steady-state chained variant: 4 back-to-back x8 dispatches, ONE
+    # readback — on the async relay this measures true pipelined
+    # throughput (a serving loop does not read back synchronously per
+    # batch); the single-dispatch x8 number above stays the conservative
+    # headline for cross-round continuity
+    def _chain4():
+        out = None
+        for _ in range(4):
+            out = fbp(*a8, l1max=L1, l2max=L2)
+        return _sync(out)
+
+    tc = time_reps(_chain4, reps=5)
+    dtc, _ = med_iqr(tc)
+    chained_rate = cells8 * 4 / dtc
+
     # ---- config 1: RF00005 all-pairs (latency-bound at this size) --------
     fa = dafs_tpu.load_fasta("/root/reference/examples/RF00005:0.fa")
     a05, l1m, l2m, B05, cells05, (seqs1, seqs2) = encode_pairs(fa, PP)
@@ -316,6 +331,9 @@ def main() -> None:
                     "rf00017_wall_s_median": round(dt17, 5),
                     "rf00017_wall_s_iqr": round(iqr17, 5),
                     "rf00017_x8_wall_s_median": round(dt8, 5),
+                    "rf00017_x8x4_chained_cell_updates_per_s": round(
+                        chained_rate, 1
+                    ),
                     "rf00017_x8_wall_s_iqr": round(iqr8, 5),
                     "runtime_note": (
                         "the axon relay is fully async with a ~26 ms host "
