@@ -36,10 +36,14 @@ def timeit(fn, reps=10, warm=2):
 
 
 def slope_ms(make_fn, n1=20, n2=100):
-    """Marginal per-iteration cost from an in-executable fori_loop."""
+    """Marginal per-iteration cost from an in-executable fori_loop.
+
+    Timing forces a scalar READBACK: with the captured-constant bug fixed
+    (round 5, ops/logspace.py) the relay is fully async and
+    block_until_ready returns at enqueue."""
     f1, f2 = make_fn(n1), make_fn(n2)
-    t1 = timeit(lambda: jax.block_until_ready(f1()))
-    t2 = timeit(lambda: jax.block_until_ready(f2()))
+    t1 = timeit(lambda: float(f1()))
+    t2 = timeit(lambda: float(f2()))
     return (t2 - t1) / (n2 - n1) * 1e3
 
 

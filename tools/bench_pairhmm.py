@@ -19,13 +19,21 @@ from dafs_tpu.utils.aot import setup_compile_cache
 setup_compile_cache()
 
 
+def _sync(x):
+    # force a real device round trip: the async relay's block_until_ready
+    # returns at enqueue (see ops/logspace.py round-5 note)
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(x)[0])
+
+
 def timeit(fn, reps=10, warm=3):
     for _ in range(warm):
-        jax.block_until_ready(fn())
+        _sync(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 

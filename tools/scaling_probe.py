@@ -47,13 +47,20 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+def _sync(x):
+    """Force a real device round trip (the async relay's block_until_ready
+    returns at enqueue — round-5 finding, see ops/logspace.py)."""
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(jnp.ravel(leaves[0])[0]) if leaves else 0.0
+
+
 def timeit(fn, reps=5, warm=2):
     for _ in range(warm):
-        jax.block_until_ready(fn())
+        _sync(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _sync(fn())
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 
